@@ -1,0 +1,82 @@
+"""Parser + TNF compiler tests over the reference fixture corpus."""
+import glob
+
+import numpy as np
+import pytest
+
+from turbo_tpu.frontend.fzn import parse_fzn, parse_fzn_text
+from turbo_tpu.compile.model import compile_model
+from turbo_tpu.core.ops import INF, NINF
+
+ALL_FZN = sorted(glob.glob("/root/reference/benchmarks/**/*.fzn", recursive=True))
+PARSEABLE = [f for f in ALL_FZN if "valve6" not in f]  # valve6 uses set vars
+
+
+@pytest.mark.parametrize("path", PARSEABLE, ids=lambda p: p.split("/")[-1])
+def test_parse_all_fixtures(path):
+    m = parse_fzn(path)
+    assert m.solve.kind in ("satisfy", "minimize", "maximize")
+
+
+@pytest.mark.parametrize("path", PARSEABLE, ids=lambda p: p.split("/")[-1])
+def test_compile_all_fixtures(path):
+    tnf = compile_model(parse_fzn(path))
+    V, P = tnf.num_vars, tnf.num_props
+    assert (tnf.lb0 <= tnf.ub0).all() or tnf.root_unsat
+    if P:
+        for arr in (tnf.xs, tnf.ys, tnf.zs):
+            assert arr.min() >= 0 and arr.max() < V
+
+
+def test_parse_basics():
+    m = parse_fzn_text(
+        """
+        var 1..9: x :: output_var;
+        var bool: b;
+        array [1..2] of int: c = [2,-3];
+        constraint int_lin_le(c, [x, x], 7);
+        solve :: int_search([x], first_fail, indomain_min, complete) minimize x;
+        """
+    )
+    assert len(m.vars) == 2
+    assert m.vars[0].lb == 1 and m.vars[0].ub == 9
+    assert m.solve.kind == "minimize"
+    assert m.solve.searches[0].var_order == "first_fail"
+
+
+def test_sparse_domain_membership():
+    tnf = compile_model(parse_fzn_text(
+        "var {1,3,7}: x :: output_var;\nsolve maximize x;"))
+    assert not tnf.root_unsat
+    # Hull bounds 1..7 at the variable.
+    assert tnf.lb0[tnf.orig_obj_var] == 1
+    assert tnf.ub0[tnf.orig_obj_var] == 7
+
+
+def test_trivially_false():
+    tnf = compile_model(parse_fzn_text(
+        "constraint bool_eq(false, true);\nsolve satisfy;"))
+    assert tnf.root_unsat
+
+
+def test_cse_dedups_shared_linear_terms():
+    t1 = compile_model(parse_fzn_text(
+        """
+        var 0..9: x; var 0..9: y :: output_var;
+        array [1..2] of int: c = [2,3];
+        constraint int_lin_le(c, [x,y], 20);
+        constraint int_lin_le(c, [x,y], 15);
+        solve minimize y;
+        """
+    ))
+    t2 = compile_model(parse_fzn_text(
+        """
+        var 0..9: x; var 0..9: y :: output_var;
+        array [1..2] of int: c = [2,3];
+        constraint int_lin_le(c, [x,y], 20);
+        solve minimize y;
+        """
+    ))
+    # The duplicate lin_le shares the whole sum tree: no extra props,
+    # the tighter bound lands in the domain meet.
+    assert t1.num_props == t2.num_props

@@ -1,0 +1,303 @@
+"""FlatZinc model -> ternary constraint network (TNF) compiler.
+
+Plays the role of the reference's ``ternarize``/``normalize`` passes
+plus parts of its ``Simplifier`` (equivalence classes over ``=``
+constraints and incremental CSE), see
+/root/reference/include/common_solving.hpp:520-585.  Everything here is
+host-side Python; the output is a set of flat int arrays ready to be
+uploaded to the device.
+
+Design choices (TPU-first, not a translation of lala's ternarize):
+
+* Constants are interned as singleton variables.
+* Functional results are CSE'd at build time via a ``(op, y, z)`` memo
+  (the reference runs i-CSE as a fixpoint pass afterwards; doing it
+  during construction is cheaper and catches the dominant duplicates,
+  e.g. repeated linear terms across wordpress constraints).
+* Variable equalities (``bool2int``, ``int_eq``, reified results, ...)
+  use a union-find; propagator operands are remapped through it at
+  finalization, so unions may happen at any time during the build.
+* Unary constraints (``x <= k`` etc.) become domain meets, not
+  propagators.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..core.ops import (
+    INF,
+    NINF,
+    OP_ADD,
+    OP_DIV,
+    OP_EQ,
+    OP_LE,
+    OP_MAX,
+    OP_MIN,
+    OP_MUL,
+    interval_fwd,
+)
+from ..frontend.ast import Model, Range, SetLit
+
+
+class CompileError(Exception):
+    pass
+
+
+@dataclasses.dataclass
+class Strategy:
+    var_order: str   # input_order | first_fail | anti_first_fail | smallest | largest | random
+    val_order: str   # indomain_min | indomain_max | indomain_split | indomain_reverse_split
+    # Variable ids (pre-finalize ids; finalized to rep ids). None = whole store.
+    var_ids: Optional[np.ndarray]
+
+
+@dataclasses.dataclass
+class OutputItem:
+    name: str
+    is_array: bool
+    is_bool: bool
+    # For scalars: a single element; for arrays: all elements.
+    # Each element is a (finalized) variable id.
+    elems: List[int]
+    dims: Optional[List[Tuple[int, int]]]
+
+
+@dataclasses.dataclass
+class Tnf:
+    """Finalized ternary constraint network."""
+    lb0: np.ndarray          # (V,) int64 root lower bounds
+    ub0: np.ndarray          # (V,) int64 root upper bounds
+    ops: np.ndarray          # (P,) int32
+    xs: np.ndarray           # (P,) int32
+    ys: np.ndarray           # (P,) int32
+    zs: np.ndarray           # (P,) int32
+    obj_var: int             # minimized variable id, or -1 (satisfaction)
+    orig_obj_var: int        # original objective variable id (for printing), or -1
+    is_max: bool
+    strategies: List[Strategy]
+    outputs: List[OutputItem]
+    names: List[str]
+    root_unsat: bool
+    n_parsed_vars: int = 0
+    n_parsed_cons: int = 0
+
+    @property
+    def num_vars(self) -> int:
+        return len(self.lb0)
+
+    @property
+    def num_props(self) -> int:
+        return len(self.ops)
+
+
+_COMMUTATIVE = {OP_ADD, OP_MUL, OP_MIN, OP_MAX, OP_EQ}
+
+
+class Builder:
+    def __init__(self):
+        self.lb: List[int] = []
+        self.ub: List[int] = []
+        self.names: List[str] = []
+        self.parent: List[int] = []
+        self.props: List[Tuple[int, int, int, int]] = []
+        self.const_ids: Dict[int, int] = {}
+        self.memo: Dict[Tuple[int, int, int], int] = {}
+        self.root_unsat = False
+
+    # ---- variables -------------------------------------------------
+
+    def new_var(self, lb: int, ub: int, name: str = "") -> int:
+        v = len(self.lb)
+        self.lb.append(max(NINF, min(INF, int(lb))))
+        self.ub.append(max(NINF, min(INF, int(ub))))
+        self.names.append(name)
+        self.parent.append(v)
+        return v
+
+    def const(self, c: int) -> int:
+        c = int(c)
+        v = self.const_ids.get(c)
+        if v is None:
+            v = self.new_var(c, c, str(c))
+            self.const_ids[c] = v
+        return v
+
+    def find(self, v: int) -> int:
+        p = self.parent
+        r = v
+        while p[r] != r:
+            r = p[r]
+        while p[v] != r:
+            p[v], v = r, p[v]
+        return r
+
+    def union(self, a: int, b: int) -> int:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return ra
+        self.parent[rb] = ra
+        self.meet_dom(ra, self.lb[rb], self.ub[rb])
+        return ra
+
+    def meet_dom(self, v: int, lo: int, hi: int):
+        v = self.find(v)
+        lo = max(NINF, min(INF, int(lo)))
+        hi = max(NINF, min(INF, int(hi)))
+        if lo > self.lb[v]:
+            self.lb[v] = lo
+        if hi < self.ub[v]:
+            self.ub[v] = hi
+        if self.lb[v] > self.ub[v]:
+            self.root_unsat = True
+
+    def dom(self, v: int) -> Tuple[int, int]:
+        v = self.find(v)
+        return self.lb[v], self.ub[v]
+
+    def is_singleton(self, v: int) -> bool:
+        v = self.find(v)
+        return self.lb[v] == self.ub[v]
+
+    # ---- propagators ----------------------------------------------
+
+    def add_prop(self, op: int, x: int, y: int, z: int):
+        self.props.append((op, x, y, z))
+
+    def fn(self, op: int, y: int, z: int, hint: Optional[int] = None,
+           name: str = "") -> int:
+        """CSE'd functional result variable for `y op z`."""
+        y, z = self.find(y), self.find(z)
+        if op in _COMMUTATIVE and y > z:
+            y, z = z, y
+        # Constant folding.
+        if self.lb[y] == self.ub[y] and self.lb[z] == self.ub[z]:
+            lo, hi = interval_fwd(op, self.lb[y], self.ub[y], self.lb[z], self.ub[z])
+            if lo == hi:
+                c = self.const(lo)
+                if hint is not None:
+                    self.union(hint, c)
+                return c
+        key = (op, y, z)
+        x = self.memo.get(key)
+        if x is not None:
+            x = self.find(x)
+            if hint is not None:
+                x = self.union(hint, x)
+                self.memo[key] = x
+            return x
+        if hint is not None:
+            x = self.find(hint)
+        else:
+            lo, hi = interval_fwd(op, self.lb[y], self.ub[y], self.lb[z], self.ub[z])
+            x = self.new_var(lo, hi, name)
+        if op in (OP_LE, OP_EQ):
+            self.meet_dom(x, max(0, self.lb[self.find(x)]), min(1, self.ub[self.find(x)]))
+        self.memo[key] = x
+        self.add_prop(op, x, y, z)
+        return x
+
+    def le(self, y: int, z: int, hint: Optional[int] = None) -> int:
+        return self.fn(OP_LE, y, z, hint)
+
+    def eq(self, y: int, z: int, hint: Optional[int] = None) -> int:
+        return self.fn(OP_EQ, y, z, hint)
+
+    def fix(self, b: int, val: int):
+        self.meet_dom(b, val, val)
+
+    def negb(self, a: int, hint: Optional[int] = None) -> int:
+        """Boolean negation: r = 1 - a, encoded as 1 = r + a."""
+        a = self.find(a)
+        if self.lb[a] == self.ub[a]:
+            c = self.const(1 - self.lb[a])
+            if hint is not None:
+                self.union(hint, c)
+            return c
+        key = (-1, a, a)  # pseudo-op for CSE of negation
+        r = self.memo.get(key)
+        if r is not None:
+            r = self.find(r)
+            if hint is not None:
+                r = self.union(hint, r)
+                self.memo[key] = r
+            return r
+        if hint is not None:
+            r = self.find(hint)
+        else:
+            r = self.new_var(0, 1)
+        self.meet_dom(r, 0, 1)
+        self.memo[key] = r
+        self.add_prop(OP_ADD, self.const(1), r, a)
+        return r
+
+    # ---- composite builders ----------------------------------------
+
+    def scaled(self, c: int, x: int) -> int:
+        if c == 1:
+            return self.find(x)
+        return self.fn(OP_MUL, self.const(c), x)
+
+    def sum_tree(self, terms: List[int]) -> int:
+        """Balanced ADD tree with CSE. Returns the sum variable."""
+        if not terms:
+            return self.const(0)
+        layer = [self.find(t) for t in terms]
+        while len(layer) > 1:
+            nxt = []
+            for i in range(0, len(layer) - 1, 2):
+                nxt.append(self.fn(OP_ADD, layer[i], layer[i + 1]))
+            if len(layer) % 2 == 1:
+                nxt.append(layer[-1])
+            layer = nxt
+        return layer[0]
+
+    def linear(self, coeffs: Sequence[int], xs: Sequence[int]) -> int:
+        if len(coeffs) != len(xs):
+            raise CompileError("linear: length mismatch")
+        return self.sum_tree([self.scaled(c, x) for c, x in zip(coeffs, xs)])
+
+    def min_tree(self, terms: List[int], hint=None) -> int:
+        return self._fold_tree(OP_MIN, terms, hint, empty=1)
+
+    def max_tree(self, terms: List[int], hint=None) -> int:
+        return self._fold_tree(OP_MAX, terms, hint, empty=0)
+
+    def _fold_tree(self, op: int, terms: List[int], hint, empty: int) -> int:
+        if not terms:
+            c = self.const(empty)
+            if hint is not None:
+                self.union(hint, c)
+            return c
+        layer = [self.find(t) for t in terms]
+        while len(layer) > 1:
+            nxt = []
+            for i in range(0, len(layer) - 1, 2):
+                is_top = len(layer) == 2
+                nxt.append(self.fn(op, layer[i], layer[i + 1],
+                                   hint if is_top else None))
+            if len(layer) % 2 == 1:
+                nxt.append(layer[-1])
+            layer = nxt
+        if hint is not None:
+            return self.union(hint, layer[0])
+        return layer[0]
+
+    def in_set(self, x: int, values: Sequence[int], hint=None) -> int:
+        """Reified sparse membership: r = (x in values)."""
+        values = sorted(set(int(v) for v in values))
+        lo, hi = self.dom(x)
+        values = [v for v in values if lo <= v <= hi]
+        if not values:
+            c = self.const(0)
+            if hint is not None:
+                self.union(hint, c)
+            return c
+        if values[-1] - values[0] == len(values) - 1:
+            # Contiguous: r = (lo' <= x) & (x <= hi')
+            b1 = self.le(self.const(values[0]), x)
+            b2 = self.le(x, self.const(values[-1]))
+            return self.fn(OP_MIN, b1, b2, hint)
+        return self.max_tree([self.eq(x, self.const(v)) for v in values], hint)
