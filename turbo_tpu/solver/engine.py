@@ -1,0 +1,461 @@
+"""Batched EPS dive-and-solve engine (the "tpu" architecture).
+
+A JAX re-expression of the reference's barebones GPU architecture
+(barebones_dive_and_solve.hpp): where the GPU runs one MIMD thread
+block per EPS worker, this engine runs a *batch of D dives in lockstep*
+as one jitted step function:
+
+  - bit-path diving to the assigned subproblem with subtree skipping
+    (barebones:674-741),
+  - branch-and-bound solve with decision stacks + ropes fast
+    backtracking (barebones:386-404, 812-864),
+  - per-step incumbent sharing: min over the dive batch, and
+    `lax.pmin` across a device mesh when sharded (the TPU replacement
+    for the grid-scope atomic `appx_best_bound`, barebones:996-997),
+  - lazy subproblem generation from a monotone counter
+    (`next_subproblem`, barebones:877-884) kept inside the jitted
+    state so refills happen on-device.
+
+All search state lives in HBM-resident int32 arrays; one `step` call
+advances every dive by one search node.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.ops import INF, NINF
+from ..compile.tnf import Tnf
+from .plan import Plan, build_plan
+from .propagate_jax import PropagatorKernels
+
+I32 = jnp.int32
+DIVE, SOLVE, IDLE = 0, 1, 2
+
+_VO_CODE = {"input_order": 0, "first_fail": 1, "anti_first_fail": 2,
+            "smallest": 3, "largest": 4}
+_VALO_CODE = {"indomain_min": 0, "indomain_max": 1, "indomain_split": 2,
+              "indomain_reverse_split": 3}
+
+
+class SearchState(NamedTuple):
+    lb: jnp.ndarray          # (D, V) current store
+    ub: jnp.ndarray
+    root_lb: jnp.ndarray     # (D, V) subproblem root snapshot
+    root_ub: jnp.ndarray
+    best_lb: jnp.ndarray     # (D, V) per-dive best solution store
+    best_ub: jnp.ndarray
+    best_bound: jnp.ndarray  # (D,) per-dive bound (INF = none); minimization
+    has_best: jnp.ndarray    # (D,) bool
+    dec_var: jnp.ndarray     # (D, MAXD)
+    dec_l0: jnp.ndarray      # (D, MAXD) left child interval
+    dec_u0: jnp.ndarray
+    dec_l1: jnp.ndarray      # (D, MAXD) right child interval
+    dec_u1: jnp.ndarray
+    dec_rope1: jnp.ndarray   # (D, MAXD) rope of the right child
+    dec_cur: jnp.ndarray     # (D, MAXD) current child index (0/1)
+    depth: jnp.ndarray       # (D,)
+    phase: jnp.ndarray       # (D,) DIVE/SOLVE/IDLE
+    remaining: jnp.ndarray   # (D,) remaining dive depth
+    subp: jnp.ndarray        # (D,) current subproblem index
+    strat: jnp.ndarray       # (D,) current strategy cursor
+    snap_strat: jnp.ndarray  # (D,)
+    next_sub: jnp.ndarray    # () next subproblem counter
+    nonexh: jnp.ndarray      # (D,) search not exhaustive
+    nodes: jnp.ndarray       # (D,)
+    fails: jnp.ndarray
+    sols: jnp.ndarray
+    fpit: jnp.ndarray
+    deds: jnp.ndarray        # (D,) float32
+    dmax: jnp.ndarray
+    solved_sub: jnp.ndarray
+    skipped_sub: jnp.ndarray
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    num_dives: int = 64          # D: lanes per device (GPU: number of blocks)
+    subproblems_power: int = 0   # k: 2^k subproblems; 0 -> auto from factor
+    subproblems_factor: int = 300  # reference default (config.hpp:76)
+    max_depth: int = 256         # decision stack depth (MAXD)
+    fp_max_iters: int = 10000
+
+
+class BatchedSolver:
+    def __init__(self, tnf: Tnf, config: EngineConfig = EngineConfig(),
+                 axis_name: Optional[str] = None, num_shards: int = 1):
+        self.tnf = tnf
+        self.cfg = config
+        self.axis_name = axis_name
+        self.num_shards = num_shards
+        self.plan = build_plan(tnf)
+        self.kernels = PropagatorKernels(self.plan)
+        D = config.num_dives
+        k = config.subproblems_power
+        if k <= 0:
+            total = max(1, config.subproblems_factor * D * num_shards)
+            k = max(1, int(np.ceil(np.log2(total))))
+        k = min(k, 30)
+        self.k = k
+        self.num_sub_total = 1 << k
+        self.opt = self.plan.obj >= 0
+        self._strategy_tables = self._build_strategy_tables()
+
+    # -- strategies ---------------------------------------------------
+
+    def _build_strategy_tables(self):
+        out = []
+        for s in self.plan.strategies:
+            if len(s.ids) == 0:
+                continue
+            out.append((
+                _VO_CODE.get(s.var_order, 0),
+                _VALO_CODE.get(s.val_order, 0),
+                jnp.asarray(s.ids.astype(np.int32)),
+            ))
+        if not out:
+            # Degenerate: no branchable variables at all (fully fixed
+            # model). A single dummy strategy over var 0 keeps shapes
+            # static; it never finds a splittable var.
+            out.append((0, 0, jnp.zeros((1,), dtype=I32)))
+        return out
+
+    def _select(self, lb, ub, strat):
+        """Pick the branching variable per dive.
+
+        Mirrors barebones split()/input_order_split/lattice_smallest_split
+        (barebones:186-349): first strategy index >= cursor that still
+        has a splittable var; ties break on the smallest position in the
+        strategy's variable order.
+        Returns (found (D,), var (D,), new_strat (D,), valo (D,)).
+        """
+        D = lb.shape[0]
+        founds, vars_, valos = [], [], []
+        for vo, valo, ids in self._strategy_tables:
+            l = lb[:, ids]
+            u = ub[:, ids]
+            ok = (l < u) & (l > NINF) & (u < INF)
+            if vo == 0:
+                key = jnp.broadcast_to(
+                    jnp.arange(ids.shape[0], dtype=I32)[None, :], l.shape)
+            elif vo == 1:
+                key = u - l
+            elif vo == 2:
+                key = -(u - l)
+            elif vo == 3:
+                key = l
+            else:
+                key = -u
+            big = jnp.iinfo(jnp.int32).max
+            pos = jnp.argmin(jnp.where(ok, key, big), axis=1)
+            founds.append(ok.any(axis=1))
+            vars_.append(ids[pos])
+            valos.append(jnp.full((D,), valo, dtype=I32))
+        found_s = jnp.stack(founds, axis=1)    # (D, S)
+        var_s = jnp.stack(vars_, axis=1)
+        valo_s = jnp.stack(valos, axis=1)
+        S = found_s.shape[1]
+        allowed = jnp.arange(S, dtype=I32)[None, :] >= strat[:, None]
+        ok = found_s & allowed
+        has = ok.any(axis=1)
+        chosen = jnp.argmax(ok, axis=1).astype(I32)
+        var = jnp.take_along_axis(var_s, chosen[:, None], axis=1)[:, 0]
+        valo = jnp.take_along_axis(valo_s, chosen[:, None], axis=1)[:, 0]
+        return has, var, chosen, valo
+
+    @staticmethod
+    def _children(valo, lo, hi):
+        """LightBranch children per value order (barebones:355-384)."""
+        mid = lo + (hi - lo) // 2
+        c0l = jnp.select([valo == 0, valo == 1, valo == 2, valo == 3],
+                         [lo, hi, lo, mid + 1])
+        c0u = jnp.select([valo == 0, valo == 1, valo == 2, valo == 3],
+                         [lo, hi, mid, hi])
+        c1l = jnp.select([valo == 0, valo == 1, valo == 2, valo == 3],
+                         [lo + 1, lo, mid + 1, lo])
+        c1u = jnp.select([valo == 0, valo == 1, valo == 2, valo == 3],
+                         [hi, hi - 1, hi, mid])
+        return c0l.astype(I32), c0u.astype(I32), c1l.astype(I32), c1u.astype(I32)
+
+    # -- state --------------------------------------------------------
+
+    def init_state(self, shard_idx: int = 0) -> SearchState:
+        D = self.cfg.num_dives
+        V = self.plan.V
+        MAXD = self.cfg.max_depth
+        lb0 = jnp.asarray(self.plan.lb0)
+        ub0 = jnp.asarray(self.plan.ub0)
+        def mat(base):
+            # Materialized (not aliased) per-field buffers: step() donates
+            # its input, so every state leaf needs its own buffer.
+            return jnp.tile(base[None, :], (D, 1)).astype(I32)
+
+        lb = mat(lb0)
+        ub = mat(ub0)
+        # Static subproblem partition across shards; each shard owns a
+        # contiguous range (multi-host EPS; reference uses one global
+        # atomic counter on one GPU).
+        per = self.num_sub_total // self.num_shards
+        base = shard_idx * per
+        limit = base + per
+        subp = base + jnp.arange(D, dtype=I32)
+        phase = jnp.where(subp < limit, DIVE, IDLE).astype(I32)
+
+        def zeros():
+            return jnp.zeros((D,), dtype=I32)
+        return SearchState(
+            lb=lb, ub=ub, root_lb=mat(lb0), root_ub=mat(ub0),
+            best_lb=mat(lb0), best_ub=mat(ub0),
+            best_bound=jnp.full((D,), INF, dtype=I32),
+            has_best=jnp.zeros((D,), dtype=bool),
+            dec_var=jnp.zeros((D, MAXD), dtype=I32),
+            dec_l0=jnp.zeros((D, MAXD), dtype=I32),
+            dec_u0=jnp.zeros((D, MAXD), dtype=I32),
+            dec_l1=jnp.zeros((D, MAXD), dtype=I32),
+            dec_u1=jnp.zeros((D, MAXD), dtype=I32),
+            dec_rope1=jnp.zeros((D, MAXD), dtype=I32),
+            dec_cur=jnp.zeros((D, MAXD), dtype=I32),
+            depth=zeros(), phase=phase,
+            remaining=jnp.full((D,), self.k, dtype=I32),
+            subp=subp.astype(I32),
+            strat=zeros(), snap_strat=zeros(),
+            next_sub=jnp.asarray(base + D, dtype=I32),
+            nonexh=jnp.zeros((D,), dtype=bool),
+            nodes=zeros(), fails=zeros(), sols=zeros(), fpit=zeros(),
+            deds=jnp.zeros((D,), dtype=jnp.float32),
+            dmax=zeros(), solved_sub=zeros(), skipped_sub=zeros(),
+        )
+
+    # -- the step function -------------------------------------------
+
+    def step(self, st: SearchState, shard_limit: Optional[jnp.ndarray] = None
+             ) -> SearchState:
+        cfg = self.cfg
+        D = cfg.num_dives
+        V = self.plan.V
+        MAXD = cfg.max_depth
+        obj = self.plan.obj
+        if shard_limit is None:
+            shard_limit = jnp.asarray(self.num_sub_total, dtype=I32)
+
+        phase = jnp.where((st.phase == DIVE) & (st.remaining == 0), SOLVE, st.phase)
+        act = phase != IDLE
+        in_dive = phase == DIVE
+        in_solve = phase == SOLVE
+        lb, ub = st.lb, st.ub
+        best_bound = st.best_bound
+
+        # I. Tighten the objective from the incumbent (barebones:752-771).
+        if self.opt:
+            g = best_bound.min()
+            if self.axis_name is not None:
+                g = jax.lax.pmin(g, self.axis_name)
+            lim = jnp.minimum(g, best_bound) - 1
+            newu = jnp.minimum(ub[:, obj], lim.astype(I32))
+            ub = ub.at[:, obj].set(jnp.where(in_solve, newu, ub[:, obj]))
+
+        # II. Propagate to fixpoint.
+        lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
+        bot = self.kernels.is_bot(lb, ub)
+        ent = self.kernels.all_entailed(lb, ub) & ~bot
+        leaf = bot | ent
+
+        nodes = st.nodes + act.astype(I32)
+        fails = st.fails + (act & bot).astype(I32)
+        fpit = st.fpit + jnp.where(act, iters, 0)
+        deds = st.deds + jnp.where(act, iters.astype(jnp.float32) * self.plan.P, 0.0)
+        dmax = jnp.maximum(st.dmax, jnp.where(act, st.depth, 0))
+
+        # III. Solutions (all propagators entailed; objective read at lb).
+        if self.opt:
+            impr = act & ent & (lb[:, obj] < best_bound)
+        else:
+            impr = act & ent & ~st.has_best
+        best_lb = jnp.where(impr[:, None], lb, st.best_lb)
+        best_ub = jnp.where(impr[:, None], ub, st.best_ub)
+        if self.opt:
+            best_bound = jnp.where(impr, lb[:, obj], best_bound)
+        else:
+            best_bound = jnp.where(impr, 0, best_bound)
+        has_best = st.has_best | impr
+        sols = st.sols + impr.astype(I32)
+
+        # IV. Branch variable selection.
+        found, var, nstrat, valo = self._select(lb, ub, st.strat)
+        no_split = act & ~leaf & ~found
+        nonexh = st.nonexh | no_split
+        leaf = leaf | no_split
+        branching = act & ~leaf
+
+        lo = jnp.take_along_axis(lb, var[:, None], axis=1)[:, 0]
+        hi = jnp.take_along_axis(ub, var[:, None], axis=1)[:, 0]
+        c0l, c0u, c1l, c1u = self._children(valo, lo, hi)
+
+        # V. Dive branching: commit the child given by the path bit
+        # (barebones:700-708).
+        dive_br = branching & in_dive
+        bit = jnp.right_shift(st.subp, jnp.maximum(st.remaining - 1, 0)) & 1
+        remaining = jnp.where(dive_br, st.remaining - 1, st.remaining)
+
+        # VI. Solve branching: snapshot root at depth 0, push decision,
+        # take the left child (barebones:783-823).
+        solve_br = branching & in_solve
+        ovf = solve_br & (st.depth >= MAXD)
+        nonexh = nonexh | ovf
+        solve_br = solve_br & ~ovf
+        leaf = leaf | ovf
+        snap = solve_br & (st.depth == 0)
+        root_lb = jnp.where(snap[:, None], lb, st.root_lb)
+        root_ub = jnp.where(snap[:, None], ub, st.root_ub)
+        snap_strat = jnp.where(snap, st.strat, st.snap_strat)
+
+        dd = jnp.clip(st.depth, 0, MAXD - 1)
+        parent = jnp.clip(st.depth - 1, 0, MAXD - 1)
+        parent_cur = jnp.take_along_axis(st.dec_cur, parent[:, None], 1)[:, 0]
+        parent_rope1 = jnp.take_along_axis(st.dec_rope1, parent[:, None], 1)[:, 0]
+        rope1 = jnp.where(st.depth > 0,
+                          jnp.where(parent_cur == 0, st.depth, parent_rope1),
+                          -1)
+
+        def push(dst, vals):
+            upd = jnp.where(solve_br, vals, jnp.take_along_axis(dst, dd[:, None], 1)[:, 0])
+            return jax.vmap(lambda row, i, v: row.at[i].set(v))(dst, dd, upd)
+
+        dec_var = push(st.dec_var, var)
+        dec_l0 = push(st.dec_l0, c0l)
+        dec_u0 = push(st.dec_u0, c0u)
+        dec_l1 = push(st.dec_l1, c1l)
+        dec_u1 = push(st.dec_u1, c1u)
+        dec_rope1 = push(st.dec_rope1, rope1.astype(I32))
+        dec_cur = push(st.dec_cur, jnp.zeros((D,), dtype=I32))
+        depth = jnp.where(solve_br, st.depth + 1, st.depth)
+
+        # Apply the chosen child bounds (dive: by path bit; solve: left).
+        embed = dive_br | solve_br
+        el = jnp.where(dive_br, jnp.where(bit == 1, c1l, c0l), c0l)
+        eu = jnp.where(dive_br, jnp.where(bit == 1, c1u, c0u), c0u)
+        evar = jnp.where(embed, var, 0)
+        el = jnp.where(embed, el, NINF)
+        eu = jnp.where(embed, eu, INF)
+        lb = jax.vmap(lambda row, i, v: row.at[i].max(v))(lb, evar, el)
+        ub = jax.vmap(lambda row, i, v: row.at[i].min(v))(ub, evar, eu)
+
+        # VII. Backtracking by ropes (barebones:826-864).
+        bt = act & leaf & in_solve
+        lastd = jnp.clip(depth - 1, 0, MAXD - 1)
+        last_cur = jnp.take_along_axis(dec_cur, lastd[:, None], 1)[:, 0]
+        last_rope1 = jnp.take_along_axis(dec_rope1, lastd[:, None], 1)[:, 0]
+        t = jnp.where(last_cur == 0, depth, last_rope1)
+        done_sub = bt & ((depth == 0) | (t == -1))
+        restore = bt & (depth > 0) & (t != -1)
+
+        tm1 = jnp.clip(t - 1, 0, MAXD - 1)
+        dec_cur = jnp.where(
+            restore[:, None],
+            jax.vmap(lambda row, i: row.at[i].set(1))(dec_cur, tm1),
+            dec_cur)
+
+        # Rebuild the store: root snapshot meet all decisions < t at
+        # their current child (the flipped one included).
+        narrow = jnp.arange(MAXD, dtype=I32)[None, :]
+        live = narrow < jnp.where(restore, t, 0)[:, None]
+        cl = jnp.where(dec_cur == 1, dec_l1, dec_l0)
+        cu = jnp.where(dec_cur == 1, dec_u1, dec_u0)
+        cl = jnp.where(live, cl, NINF)
+        cu = jnp.where(live, cu, INF)
+        tvar = jnp.where(live, dec_var, 0)
+        reb_lb = jax.vmap(lambda root, i, v: root.at[i].max(v))(root_lb, tvar, cl)
+        reb_ub = jax.vmap(lambda root, i, v: root.at[i].min(v))(root_ub, tvar, cu)
+        lb = jnp.where(restore[:, None], reb_lb, lb)
+        ub = jnp.where(restore[:, None], reb_ub, ub)
+        depth = jnp.where(restore, t, depth)
+        strat = jnp.where(branching, nstrat, st.strat)
+        strat = jnp.where(restore, snap_strat, strat)
+
+        # VIII. Dive leaves: skip the unreachable subtree
+        # (barebones:717-741).
+        dleaf = act & leaf & in_dive
+        nxt = jnp.left_shift(
+            jnp.right_shift(st.subp, remaining) + 1, remaining)
+        skip_gain = jnp.where(
+            dleaf & ((st.subp & (jnp.left_shift(1, remaining) - 1)) == 0),
+            nxt - st.subp, 0)
+        skipped_sub = st.skipped_sub + skip_gain
+        next_sub = jnp.maximum(st.next_sub,
+                               jnp.where(dleaf, nxt, 0).max())
+
+        # IX. Refill finished lanes from the subproblem counter
+        # (barebones:877-884).
+        want = dleaf | done_sub
+        solved_sub = st.solved_sub + done_sub.astype(I32)
+        rank = jnp.cumsum(want.astype(I32)) - 1
+        newidx = next_sub + jnp.where(want, rank, 0)
+        havework = want & (newidx < shard_limit)
+        next_sub = jnp.minimum(next_sub + want.sum().astype(I32), shard_limit)
+
+        phase = jnp.where(want, jnp.where(havework, DIVE, IDLE), phase)
+        refill = havework
+        lb0 = jnp.asarray(self.plan.lb0)
+        ub0 = jnp.asarray(self.plan.ub0)
+        lb = jnp.where(refill[:, None], lb0[None, :], lb)
+        ub = jnp.where(refill[:, None], ub0[None, :], ub)
+        depth = jnp.where(refill, 0, depth)
+        strat = jnp.where(refill, 0, strat)
+        remaining = jnp.where(refill, self.k, remaining)
+        subp = jnp.where(refill, newidx, st.subp)
+
+        return SearchState(
+            lb=lb, ub=ub, root_lb=root_lb, root_ub=root_ub,
+            best_lb=best_lb, best_ub=best_ub, best_bound=best_bound,
+            has_best=has_best, dec_var=dec_var, dec_l0=dec_l0, dec_u0=dec_u0,
+            dec_l1=dec_l1, dec_u1=dec_u1, dec_rope1=dec_rope1,
+            dec_cur=dec_cur, depth=depth, phase=phase, remaining=remaining,
+            subp=subp, strat=strat, snap_strat=snap_strat, next_sub=next_sub,
+            nonexh=nonexh, nodes=nodes, fails=fails, sols=sols, fpit=fpit,
+            deds=deds, dmax=dmax, solved_sub=solved_sub,
+            skipped_sub=skipped_sub)
+
+    # -- host driver --------------------------------------------------
+
+    def make_step_n(self, n: int):
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step_n(st):
+            return jax.lax.fori_loop(0, n, lambda i, s: self.step(s), st)
+        return step_n
+
+    def solve(self, timeout_s: float = 1e18, chunk: int = 32,
+              stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
+              verbose: bool = False):
+        """Single-device host loop. Returns a result dict."""
+        from .result import EngineResult  # local import to avoid cycle
+        t0 = time.monotonic()
+        if self.plan.root_unsat:
+            return EngineResult.unsat(self)
+        st = self.init_state()
+        step_n = self.make_step_n(chunk)
+        steps = 0
+        stopped = False
+        while True:
+            st = step_n(st)
+            steps += chunk
+            phase, sols = jax.device_get((st.phase, st.sols))
+            if (phase == IDLE).all():
+                break
+            if not self.opt and sols.sum() >= stop_after_n_solutions > 0:
+                stopped = True
+                break
+            if time.monotonic() - t0 > timeout_s or steps >= max_steps:
+                stopped = True
+                break
+            if verbose:
+                bb = int(jax.device_get(st.best_bound.min()))
+                print(f"% steps={steps} best={bb if bb < INF else None} "
+                      f"idle={(phase == IDLE).sum()}/{len(phase)}")
+        return EngineResult.from_state(self, st, stopped,
+                                       time.monotonic() - t0)
