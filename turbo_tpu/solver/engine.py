@@ -76,6 +76,13 @@ class SearchState(NamedTuple):
     dmax: jnp.ndarray
     solved_sub: jnp.ndarray
     skipped_sub: jnp.ndarray
+    # Instance scalars kept as traced data so the compiled program
+    # depends only on the plan's shape signature (cross-instance reuse).
+    obj: jnp.ndarray       # () permuted objective var id
+    is_opt: jnp.ndarray    # () bool
+    kpow: jnp.ndarray      # () subproblems power
+    sub_limit: jnp.ndarray # () this shard's subproblem range end
+    pscale: jnp.ndarray    # () float32: live propagators per sweep
 
 
 @dataclasses.dataclass
@@ -104,27 +111,18 @@ class BatchedSolver:
         k = min(k, 30)
         self.k = k
         self.num_sub_total = 1 << k
-        self.opt = self.plan.obj >= 0
+        self.opt = self.plan.is_opt
         self._strategy_tables = self._build_strategy_tables()
 
     # -- strategies ---------------------------------------------------
 
     def _build_strategy_tables(self):
-        out = []
-        for s in self.plan.strategies:
-            if len(s.ids) == 0:
-                continue
-            out.append((
-                _VO_CODE.get(s.var_order, 0),
-                _VALO_CODE.get(s.val_order, 0),
-                jnp.asarray(s.ids.astype(np.int32)),
-            ))
-        if not out:
-            # Degenerate: no branchable variables at all (fully fixed
-            # model). A single dummy strategy over var 0 keeps shapes
-            # static; it never finds a splittable var.
-            out.append((0, 0, jnp.zeros((1,), dtype=I32)))
-        return out
+        ids = [jnp.asarray(s.ids.astype(np.int32)) for s in self.plan.strategies]
+        vo = jnp.asarray([_VO_CODE.get(s.var_order, 0)
+                          for s in self.plan.strategies], dtype=I32)
+        valo = jnp.asarray([_VALO_CODE.get(s.val_order, 0)
+                            for s in self.plan.strategies], dtype=I32)
+        return ids, vo, valo
 
     def _select(self, lb, ub, strat):
         """Pick the branching variable per dive.
@@ -136,30 +134,26 @@ class BatchedSolver:
         Returns (found (D,), var (D,), new_strat (D,), valo (D,)).
         """
         D = lb.shape[0]
-        founds, vars_, valos = [], [], []
-        for vo, valo, ids in self._strategy_tables:
+        s_ids, s_vo, s_valo = self._strategy_tables
+        founds, vars_ = [], []
+        big = jnp.iinfo(jnp.int32).max
+        for si, ids in enumerate(s_ids):
             l = lb[:, ids]
             u = ub[:, ids]
             ok = (l < u) & (l > NINF) & (u < INF)
-            if vo == 0:
-                key = jnp.broadcast_to(
-                    jnp.arange(ids.shape[0], dtype=I32)[None, :], l.shape)
-            elif vo == 1:
-                key = u - l
-            elif vo == 2:
-                key = -(u - l)
-            elif vo == 3:
-                key = l
-            else:
-                key = -u
-            big = jnp.iinfo(jnp.int32).max
+            vo = s_vo[si]
+            pos_key = jnp.broadcast_to(
+                jnp.arange(ids.shape[0], dtype=I32)[None, :], l.shape)
+            size = u - l
+            key = jnp.select(
+                [vo == 0, vo == 1, vo == 2, vo == 3],
+                [pos_key, size, -size, l], -u)
             pos = jnp.argmin(jnp.where(ok, key, big), axis=1)
             founds.append(ok.any(axis=1))
             vars_.append(ids[pos])
-            valos.append(jnp.full((D,), valo, dtype=I32))
         found_s = jnp.stack(founds, axis=1)    # (D, S)
         var_s = jnp.stack(vars_, axis=1)
-        valo_s = jnp.stack(valos, axis=1)
+        valo_s = jnp.broadcast_to(s_valo[None, :], found_s.shape)
         S = found_s.shape[1]
         allowed = jnp.arange(S, dtype=I32)[None, :] >= strat[:, None]
         ok = found_s & allowed
@@ -230,19 +224,22 @@ class BatchedSolver:
             nodes=zeros(), fails=zeros(), sols=zeros(), fpit=zeros(),
             deds=jnp.zeros((D,), dtype=jnp.float32),
             dmax=zeros(), solved_sub=zeros(), skipped_sub=zeros(),
+            obj=jnp.asarray(self.plan.obj, dtype=I32),
+            is_opt=jnp.asarray(bool(self.opt)),
+            kpow=jnp.asarray(self.k, dtype=I32),
+            sub_limit=jnp.asarray(limit, dtype=I32),
+            pscale=jnp.asarray(float(self.plan.num_real_props), dtype=jnp.float32),
         )
 
     # -- the step function -------------------------------------------
 
-    def step(self, st: SearchState, shard_limit: Optional[jnp.ndarray] = None
-             ) -> SearchState:
+    def step(self, st: SearchState) -> SearchState:
         cfg = self.cfg
         D = cfg.num_dives
         V = self.plan.V
         MAXD = cfg.max_depth
-        obj = self.plan.obj
-        if shard_limit is None:
-            shard_limit = jnp.asarray(self.num_sub_total, dtype=I32)
+        obj = st.obj
+        shard_limit = st.sub_limit
 
         phase = jnp.where((st.phase == DIVE) & (st.remaining == 0), SOLVE, st.phase)
         act = phase != IDLE
@@ -252,13 +249,13 @@ class BatchedSolver:
         best_bound = st.best_bound
 
         # I. Tighten the objective from the incumbent (barebones:752-771).
-        if self.opt:
-            g = best_bound.min()
-            if self.axis_name is not None:
-                g = jax.lax.pmin(g, self.axis_name)
-            lim = jnp.minimum(g, best_bound) - 1
-            newu = jnp.minimum(ub[:, obj], lim.astype(I32))
-            ub = ub.at[:, obj].set(jnp.where(in_solve, newu, ub[:, obj]))
+        g = best_bound.min()
+        if self.axis_name is not None:
+            g = jax.lax.pmin(g, self.axis_name)
+        lim = jnp.minimum(g, best_bound) - 1
+        lim = jnp.where(st.is_opt, lim, INF).astype(I32)
+        newu = jnp.minimum(ub[:, obj], lim)
+        ub = ub.at[:, obj].set(jnp.where(in_solve, newu, ub[:, obj]))
 
         # II. Propagate to fixpoint.
         lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
@@ -269,20 +266,16 @@ class BatchedSolver:
         nodes = st.nodes + act.astype(I32)
         fails = st.fails + (act & bot).astype(I32)
         fpit = st.fpit + jnp.where(act, iters, 0)
-        deds = st.deds + jnp.where(act, iters.astype(jnp.float32) * self.plan.P, 0.0)
+        deds = st.deds + jnp.where(act, iters.astype(jnp.float32) * st.pscale, 0.0)
         dmax = jnp.maximum(st.dmax, jnp.where(act, st.depth, 0))
 
         # III. Solutions (all propagators entailed; objective read at lb).
-        if self.opt:
-            impr = act & ent & (lb[:, obj] < best_bound)
-        else:
-            impr = act & ent & ~st.has_best
+        impr = act & ent & jnp.where(st.is_opt, lb[:, obj] < best_bound,
+                                     ~st.has_best)
         best_lb = jnp.where(impr[:, None], lb, st.best_lb)
         best_ub = jnp.where(impr[:, None], ub, st.best_ub)
-        if self.opt:
-            best_bound = jnp.where(impr, lb[:, obj], best_bound)
-        else:
-            best_bound = jnp.where(impr, 0, best_bound)
+        best_bound = jnp.where(
+            impr, jnp.where(st.is_opt, lb[:, obj], 0), best_bound)
         has_best = st.has_best | impr
         sols = st.sols + impr.astype(I32)
 
@@ -407,7 +400,7 @@ class BatchedSolver:
         ub = jnp.where(refill[:, None], ub0[None, :], ub)
         depth = jnp.where(refill, 0, depth)
         strat = jnp.where(refill, 0, strat)
-        remaining = jnp.where(refill, self.k, remaining)
+        remaining = jnp.where(refill, st.kpow, remaining)
         subp = jnp.where(refill, newidx, st.subp)
 
         return SearchState(
@@ -419,7 +412,8 @@ class BatchedSolver:
             subp=subp, strat=strat, snap_strat=snap_strat, next_sub=next_sub,
             nonexh=nonexh, nodes=nodes, fails=fails, sols=sols, fpit=fpit,
             deds=deds, dmax=dmax, solved_sub=solved_sub,
-            skipped_sub=skipped_sub)
+            skipped_sub=skipped_sub, obj=st.obj, is_opt=st.is_opt,
+            kpow=st.kpow, sub_limit=st.sub_limit, pscale=st.pscale)
 
     # -- host driver --------------------------------------------------
 

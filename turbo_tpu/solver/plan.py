@@ -13,8 +13,16 @@ constraint elimination, memory_gpu.hpp MemoryConfig):
   gather+reduce segments instead of scatters — the TPU-first
   replacement for the GPU's atomic scatter updates.
 
-The propagation engine then works entirely in permuted ids; results
-are mapped back through ``inv_perm`` for output.
+Shape canonicalization: every dimension that reaches the device
+(variable count, per-op propagator counts, bucket rows/widths,
+strategy list lengths) is padded to quantized sizes, and all seven op
+groups always exist.  Combined with the engine keeping instance
+scalars (objective id, subproblem power, ...) as traced data, the
+compiled XLA program depends only on the quantized shape signature —
+so one (slow) TPU compile is reused across instances and runs.
+
+The propagation engine works entirely in permuted ids; results are
+mapped back through ``inv_perm`` for output.
 """
 from __future__ import annotations
 
@@ -23,48 +31,69 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..core.ops import INF, NINF, NUM_OPS
+from ..core.ops import INF, NINF, NUM_OPS, OP_ADD
 from ..compile.tnf import Strategy, Tnf
 from . import deduce_np
 from .oracle import PropTable
+
+
+def quantize(n: int, min_gran: int = 32) -> int:
+    """Smallest padded size >= n on a coarse grid (4 steps per octave,
+    granularity >= min_gran). Keeps padding waste <= ~12.5% while
+    collapsing nearby sizes onto shared compiled shapes."""
+    if n <= min_gran:
+        return min_gran
+    gran = min_gran
+    while gran * 8 < n:
+        gran *= 2
+    return ((n + gran - 1) // gran) * gran
 
 
 @dataclasses.dataclass
 class PlanStrategy:
     var_order: str
     val_order: str
-    # Permuted variable ids to consider, in tie-break order. For the
-    # default whole-store strategy this is all active vars in permuted
-    # order (reference: store order, barebones input_order_split).
-    ids: np.ndarray
+    ids: np.ndarray  # (padded,) permuted var ids; padding -> dummy var
 
 
 @dataclasses.dataclass
 class Bucket:
     start: int            # first permuted var id in this bucket
-    count: int
-    cand_idx: np.ndarray  # (count, K) int32 indices into the flat candidate array
+    count: int            # padded row count
+    cand_idx: np.ndarray  # (count, K) int32 indices into flat candidates
 
 
 @dataclasses.dataclass
 class Plan:
-    V: int                # total vars (permuted)
-    n_active: int         # vars that can change (non-root-singleton)
-    P: int                # live propagators
+    V: int                # padded total vars
+    n_active: int         # padded active region (bucket rows)
+    P: int                # padded propagators (sum of padded groups)
     lb0: np.ndarray       # (V,) int32 root bounds after root fixpoint (permuted)
     ub0: np.ndarray
     groups: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]]  # (op, xs, ys, zs)
     buckets: List[Bucket]
-    obj: int              # permuted objective var id (-1 = satisfaction)
+    obj: int              # permuted objective var id; dummy var if satisfaction
+    is_opt: bool
     strategies: List[PlanStrategy]
-    inv_perm: np.ndarray  # permuted id -> original tnf id
+    inv_perm: np.ndarray  # permuted id -> original tnf id (len = real V)
     perm: np.ndarray      # original tnf id -> permuted id
     root_unsat: bool
-    root_entailed: bool   # all propagators entailed at root
+    root_entailed: bool
+    num_real_props: int = 0
+
+    @property
+    def shape_signature(self):
+        """Everything that determines the compiled program's shapes."""
+        return (
+            self.V, self.n_active, self.P,
+            tuple((op, len(xs)) for op, xs, _, _ in self.groups),
+            tuple((b.start, b.count, b.cand_idx.shape[1]) for b in self.buckets),
+            tuple(len(s.ids) for s in self.strategies),
+        )
 
 
 def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
-    V = tnf.num_vars
+    Vr = tnf.num_vars  # real var count
     lb = tnf.lb0.copy()
     ub = tnf.ub0.copy()
     root_unsat = bool(tnf.root_unsat or np.any(lb > ub))
@@ -79,7 +108,8 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
 
     # Drop root-entailed propagators (ask is monotone: once entailed,
     # always entailed), including fully-singleton satisfied ones.
-    keep_groups = []
+    per_op = {op: [] for op in range(NUM_OPS)}
+    num_real_props = 0
     for op, sl in table.groups:
         xs, ys, zs = table.xs[sl], table.ys[sl], table.zs[sl]
         if root_unsat:
@@ -87,23 +117,19 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
         else:
             keep = ~deduce_np.ask(op, lb[xs], ub[xs], lb[ys], ub[ys], lb[zs], ub[zs])
         if keep.any():
-            keep_groups.append((op, xs[keep], ys[keep], zs[keep]))
-    P = sum(len(g[1]) for g in keep_groups)
-    root_entailed = (P == 0)
+            per_op[op].append((xs[keep], ys[keep], zs[keep]))
+            num_real_props += int(keep.sum())
+    root_entailed = (num_real_props == 0)
 
-    # Degree of each variable over live props, excluding root singletons.
+    # Degree of each variable over live props; root singletons excluded.
     singleton = lb == ub
-    deg = np.zeros(V, dtype=np.int64)
-    for op, xs, ys, zs in keep_groups:
-        for ids in (xs, ys, zs):
-            np.add.at(deg, ids, 1)
-    active = (~singleton) & (deg > 0)
-    # Vars that are non-singleton but unconstrained still need branching;
-    # they are "active" for the store but have no incidences.
-    active |= ~singleton
+    deg = np.zeros(Vr, dtype=np.int64)
+    for op in range(NUM_OPS):
+        for xs, ys, zs in per_op[op]:
+            for ids in (xs, ys, zs):
+                np.add.at(deg, ids, 1)
+    active = ~singleton
 
-    # Bucket sizes: powers of two up to max_bucket_k; larger degrees are
-    # chained via virtual reduction slots below.
     Ks = []
     k = 4
     while k < max_bucket_k:
@@ -111,88 +137,143 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
         k *= 2
     Ks.append(max_bucket_k)
 
-    def bucket_of(d):
+    def bucket_k(d):
         for K in Ks:
             if d <= K:
                 return K
         return Ks[-1]
 
-    # Permutation: active vars sorted by bucket then original id, then
-    # singletons.
+    # Order active vars by (bucket K, original id).
     act_ids = np.nonzero(active)[0]
-    buckets_of = np.array([bucket_of(int(deg[v])) for v in act_ids])
-    order = np.lexsort((act_ids, buckets_of))
+    act_deg = deg[act_ids]
+    act_K = np.array([bucket_k(int(d)) for d in act_deg])
+    order = np.lexsort((act_ids, act_K))
     act_sorted = act_ids[order]
+    act_K_sorted = act_K[order]
     sing_ids = np.nonzero(~active)[0]
-    inv_perm = np.concatenate([act_sorted, sing_ids]).astype(np.int64)
-    perm = np.empty(V, dtype=np.int64)
-    perm[inv_perm] = np.arange(V)
-    n_active = len(act_sorted)
 
-    lb_p = lb[inv_perm].astype(np.int32)
-    ub_p = ub[inv_perm].astype(np.int32)
+    # Padded layout: per-K bucket row ranges (padded counts), then
+    # singleton tail, then padding slots; the last slot is the dummy var.
+    bucket_ranges = []  # (K, real_ids_in_bucket, start, padded_count)
+    pos = 0
+    i = 0
+    while i < len(act_sorted):
+        K = act_K_sorted[i]
+        j = i
+        while j < len(act_sorted) and act_K_sorted[j] == K:
+            j += 1
+        real = act_sorted[i:j]
+        padded = quantize(len(real))
+        bucket_ranges.append((int(K), real, pos, padded))
+        pos += padded
+        i = j
+    n_active = pos
+    V = quantize(n_active + len(sing_ids) + 2, min_gran=128)
+    dummy = V - 1    # fixed [0,0]
+    dummy1 = V - 2   # fixed [1,1] (reified-true / nonzero-divisor slot)
 
-    # Remap propagators to permuted ids; candidate layout is
-    # concatenated group order, 3 slots per prop (x,y,z), plus one
-    # trailing neutral slot.
+    # perm: real tnf id -> permuted id; inv_perm: permuted -> tnf id
+    perm = np.full(Vr, -1, dtype=np.int64)
+    lb_p = np.zeros(V, dtype=np.int32)
+    ub_p = np.zeros(V, dtype=np.int32)
+    for K, real, start, padded in bucket_ranges:
+        perm[real] = start + np.arange(len(real))
+        lb_p[start:start + len(real)] = lb[real]
+        ub_p[start:start + len(real)] = ub[real]
+    sing_start = n_active
+    perm[sing_ids] = sing_start + np.arange(len(sing_ids))
+    lb_p[sing_start:sing_start + len(sing_ids)] = lb[sing_ids]
+    ub_p[sing_start:sing_start + len(sing_ids)] = ub[sing_ids]
+    lb_p[dummy1] = ub_p[dummy1] = 1
+    inv_perm = np.full(V, -1, dtype=np.int64)
+    inv_perm[perm] = np.arange(Vr)
+
+    # Groups: all seven ops, each padded to a quantized size with dummy
+    # props (x=y=z=dummy var, trivially entailed ADD-style rows).
     groups = []
-    base = 0
-    slot_of: List[Tuple[np.ndarray, np.ndarray]] = []  # (var ids, slot ids)
-    for op, xs, ys, zs in keep_groups:
-        pxs = perm[xs].astype(np.int32)
-        pys = perm[ys].astype(np.int32)
-        pzs = perm[zs].astype(np.int32)
-        groups.append((op, pxs, pys, pzs))
+    slot_of: List[Tuple[np.ndarray, np.ndarray]] = []
+    sizes = []
+    for op in range(NUM_OPS):
+        parts = per_op[op]
+        if parts:
+            xs = np.concatenate([p[0] for p in parts])
+            ys = np.concatenate([p[1] for p in parts])
+            zs = np.concatenate([p[2] for p in parts])
+            pxs, pys, pzs = perm[xs], perm[ys], perm[zs]
+        else:
+            pxs = pys = pzs = np.zeros(0, dtype=np.int64)
         n = len(pxs)
-        idx = np.arange(n, dtype=np.int64)
-        slot_of.append((pxs, (base + idx) * 3 + 0))
-        slot_of.append((pys, (base + idx) * 3 + 1))
-        slot_of.append((pzs, (base + idx) * 3 + 2))
-        base += n
-    neutral = 3 * P  # candidate slot holding (-INF, +INF)
+        padded = quantize(n)
+        # Dummy rows must be entailed, satisfied constraints so they are
+        # invisible to all_entailed(): pick operand values per op.
+        from ..core.ops import OP_DIV, OP_EQ, OP_LE
+        dx = dummy1 if op in (OP_LE, OP_EQ) else dummy   # x=(0<=0)=1 etc.
+        dz = dummy1 if op == OP_DIV else dummy           # nonzero divisor
+        padx = np.full(padded - n, dx, dtype=np.int64)
+        pady = np.full(padded - n, dummy, dtype=np.int64)
+        padz = np.full(padded - n, dz, dtype=np.int64)
+        groups.append((op,
+                       np.concatenate([pxs, padx]).astype(np.int32),
+                       np.concatenate([pys, pady]).astype(np.int32),
+                       np.concatenate([pzs, padz]).astype(np.int32)))
+        sizes.append((n, padded))
+    P = sum(p for _, p in sizes)
 
-    # Incidence lists per active permuted var.
+    # Candidate layout: role-major over padded groups:
+    # [x-cands | y-cands | z-cands | neutral]. Slot of real prop j of
+    # group g, role r: r*P + group_base_g + j.
+    base = 0
+    for (op, gxs, gys, gzs), (n, padded) in zip(groups, sizes):
+        idx = np.arange(n, dtype=np.int64)
+        slot_of.append((gxs[:n], 0 * P + base + idx))
+        slot_of.append((gys[:n], 1 * P + base + idx))
+        slot_of.append((gzs[:n], 2 * P + base + idx))
+        base += padded
+    neutral = 3 * P
+
+    # Incidence lists per active permuted var (padding rows stay empty).
     inc: List[List[int]] = [[] for _ in range(n_active)]
     for vids, slots in slot_of:
         for v, s in zip(vids.tolist(), slots.tolist()):
             if v < n_active:
                 inc[v].append(s)
 
-    # Build buckets over contiguous permuted ranges. Degrees above
-    # max_bucket_k keep only the first slots... instead, spill extra
-    # incidences into extra rows repeated via chained rounds: we simply
-    # widen K for the last bucket to the true maximum to stay sound.
     buckets: List[Bucket] = []
-    v = 0
-    while v < n_active:
-        K = bucket_of(len(inc[v]))
-        end = v
-        while end < n_active and bucket_of(len(inc[end])) == K:
-            end += 1
-        true_max = max((len(inc[i]) for i in range(v, end)), default=0)
-        K = max(K, true_max)
-        idx = np.full((end - v, K), neutral, dtype=np.int64)
-        for i in range(v, end):
-            row = inc[i]
-            idx[i - v, :len(row)] = row
-        buckets.append(Bucket(v, end - v, idx.astype(np.int32)))
-        v = end
+    for K, real, start, padded in bucket_ranges:
+        true_max = max((len(inc[start + i]) for i in range(len(real))), default=0)
+        Kp = K
+        while Kp < true_max:
+            Kp *= 2
+        idx = np.full((padded, Kp), neutral, dtype=np.int64)
+        for i in range(len(real)):
+            row = inc[start + i]
+            idx[i, :len(row)] = row
+        buckets.append(Bucket(start, padded, idx.astype(np.int32)))
 
     # Objective + strategies in permuted ids.
-    obj = int(perm[tnf.obj_var]) if tnf.obj_var >= 0 else -1
+    is_opt = tnf.obj_var >= 0
+    obj = int(perm[tnf.obj_var]) if is_opt else dummy
     strategies = []
     for s in tnf.strategies:
         if s.var_ids is None:
-            ids = np.arange(n_active, dtype=np.int64)
-            # Reference default-strategy tie-break order is store order;
-            # ours is permuted order. Keep original order for
-            # comparability: sort permuted ids by original id.
-            ids = ids[np.argsort(inv_perm[:n_active], kind="stable")]
+            # Default whole-store strategy: active vars in ORIGINAL store
+            # order (reference tie-break order, barebones input_order_split).
+            ids = perm[np.sort(act_sorted)]
         else:
+            if len(s.var_ids) == 0:
+                continue
             ids = perm[s.var_ids]
-        strategies.append(PlanStrategy(s.var_order, s.val_order, ids.astype(np.int32)))
+        padded = quantize(len(ids))
+        ids = np.concatenate([ids, np.full(padded - len(ids), dummy, dtype=np.int64)])
+        strategies.append(PlanStrategy(s.var_order, s.val_order,
+                                       ids.astype(np.int32)))
+    # Pad the strategy list to a power of two with copies of the last
+    # (default, whole-store) strategy — semantically inert duplicates.
+    while len(strategies) & (len(strategies) - 1):
+        strategies.append(strategies[-1])
 
     return Plan(V=V, n_active=n_active, P=P, lb0=lb_p, ub0=ub_p,
-                groups=groups, buckets=buckets, obj=obj,
+                groups=groups, buckets=buckets, obj=obj, is_opt=is_opt,
                 strategies=strategies, inv_perm=inv_perm, perm=perm,
-                root_unsat=root_unsat, root_entailed=root_entailed)
+                root_unsat=root_unsat, root_entailed=root_entailed,
+                num_real_props=num_real_props)

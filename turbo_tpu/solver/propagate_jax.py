@@ -192,19 +192,21 @@ class PropagatorKernels:
         if self.P == 0:
             return lb, ub
         D = lb.shape[0]
-        cls, cus = [], []
+        # Role-major candidate layout (see plan.py): a plain concat of
+        # per-group outputs; interleaved layouts cost XLA-TPU an
+        # enormous layout-assignment blowup.
+        xls, yls, zls, xus, yus, zus = [], [], [], [], [], []
         for op, xs, ys, zs in self.groups:
             lx, ux = lb[:, xs], ub[:, xs]
             ly, uy = lb[:, ys], ub[:, ys]
             lz, uz = lb[:, zs], ub[:, zs]
             cxl, cxu, cyl, cyu, czl, czu = _deduce_group(op, lx, ux, ly, uy, lz, uz)
-            # (D, n, 3) role-minor, matching plan slot layout (p*3 + role)
-            cls.append(jnp.stack([cxl, cyl, czl], axis=-1).reshape(D, -1))
-            cus.append(jnp.stack([cxu, cyu, czu], axis=-1).reshape(D, -1))
+            xls.append(cxl); yls.append(cyl); zls.append(czl)
+            xus.append(cxu); yus.append(cyu); zus.append(czu)
         cand_l = jnp.concatenate(
-            cls + [jnp.full((D, 1), NINF, dtype=I32)], axis=1)
+            xls + yls + zls + [jnp.full((D, 1), NINF, dtype=I32)], axis=1)
         cand_u = jnp.concatenate(
-            cus + [jnp.full((D, 1), INF, dtype=I32)], axis=1)
+            xus + yus + zus + [jnp.full((D, 1), INF, dtype=I32)], axis=1)
 
         new_l_parts, new_u_parts = [], []
         for start, count, idx in self.buckets:

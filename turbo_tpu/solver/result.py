@@ -66,12 +66,9 @@ class EngineResult:
             d = int(np.argmin(cand))
         else:
             d = int(np.argmax(has_best))
-        # Permuted -> TNF id space.
-        inv = plan.inv_perm
-        store_lb = np.empty(plan.V, dtype=np.int64)
-        store_ub = np.empty(plan.V, dtype=np.int64)
-        store_lb[inv] = best_lb[d]
-        store_ub[inv] = best_ub[d]
+        # Permuted -> TNF id space (perm maps tnf id -> permuted id).
+        store_lb = best_lb[d][plan.perm].astype(np.int64)
+        store_ub = best_ub[d][plan.perm].astype(np.int64)
         res.best_lb, res.best_ub = store_lb, store_ub
         if solver.opt:
             if tnf.is_max:
