@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark driver: batched dive-and-solve throughput on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: search nodes per second on the reference's headline instance
+(example_wordpress7_500.fzn), steady-state (post-compile), matching the
+reference's `nodes` / `solveTime` statistics definition
+(statistics.hpp:340-346). The reference repo publishes no absolute
+numbers (BASELINE.md); vs_baseline is measured against the recorded
+best of previous rounds in BENCH_BASELINE.json when present.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+INSTANCE = os.environ.get(
+    "BENCH_INSTANCE",
+    "/root/reference/benchmarks/example_wordpress7_500.fzn")
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "60"))
+DIVES = int(os.environ.get("BENCH_DIVES", "64"))
+
+
+def log(msg):
+    print(f"% {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    t_start = time.monotonic()
+    import jax
+
+    from turbo_tpu.frontend.fzn import parse_fzn
+    from turbo_tpu.compile.model import compile_model
+    from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.monotonic()
+    tnf = compile_model(parse_fzn(INSTANCE))
+    log(f"compiled model: V={tnf.num_vars} P={tnf.num_props} "
+        f"({time.monotonic()-t0:.1f}s)")
+
+    solver = BatchedSolver(tnf, EngineConfig(num_dives=DIVES,
+                                             subproblems_power=14,
+                                             max_depth=256))
+    st = solver.init_state()
+    step_n = solver.make_step_n(16)
+    t0 = time.monotonic()
+    st = step_n(st)
+    jax.block_until_ready(st.lb)
+    compile_s = time.monotonic() - t0
+    log(f"XLA compile + first 16 steps: {compile_s:.1f}s")
+
+    # Steady-state measurement.
+    import numpy as np
+    nodes0 = int(np.asarray(jax.device_get(st.nodes)).sum())
+    t0 = time.monotonic()
+    steps = 0
+    while time.monotonic() - t0 < MEASURE_S and \
+            time.monotonic() - t_start < BUDGET_S:
+        st = step_n(st)
+        steps += 16
+        if steps % 256 == 0:
+            jax.block_until_ready(st.lb)
+    jax.block_until_ready(st.lb)
+    dt = time.monotonic() - t0
+    got = jax.device_get((st.nodes, st.best_bound, st.fpit, st.deds))
+    nodes1 = int(np.asarray(got[0]).sum())
+    nodes_per_s = (nodes1 - nodes0) / dt
+    bb = int(np.asarray(got[1]).min())
+    fpit = int(np.asarray(got[2]).sum())
+    deds = float(np.asarray(got[3]).sum())
+    log(f"steady state: {nodes1 - nodes0} nodes in {dt:.1f}s "
+        f"({nodes_per_s:.0f} nodes/s), best_bound={bb}, "
+        f"fixpoint_iters={fpit}, deductions={deds:.3g}")
+
+    baseline_path = os.path.join(REPO, "BENCH_BASELINE.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        try:
+            base = json.load(open(baseline_path))
+            if base.get("value"):
+                vs = nodes_per_s / float(base["value"])
+        except Exception:
+            pass
+    print(json.dumps({
+        "metric": "wordpress7_500 nodes/s (64 dives, 1 chip)",
+        "value": round(nodes_per_s, 1),
+        "unit": "nodes/s",
+        "vs_baseline": round(vs, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

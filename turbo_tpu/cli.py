@@ -1,0 +1,105 @@
+"""turbo-tpu command line entry point.
+
+Pipeline mirrors the reference's `main` (src/turbo.cpp:22-55):
+parse flags -> parse model -> preprocess/compile -> dispatch to an
+architecture -> print solutions + MiniZinc statistics.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+from .frontend.fzn import parse_fzn
+from .compile.model import compile_model
+from .utils.config import Configuration, parse_args
+from .utils.output import (MznStats, print_final_separator,
+                           print_mzn_statistics, print_solution)
+
+
+def run(cfg: Configuration) -> int:
+    stats = MznStats(cfg.print_statistics)
+    t0 = time.monotonic()
+    stats.stat("comandLine", f"turbo-tpu {cfg.problem_path}")
+    model = parse_fzn(cfg.problem_path)
+    stats.stat("parsed_variables", len(model.vars))
+    stats.stat("parsed_constraints", len(model.constraints))
+    if cfg.free_search:
+        model.solve.searches = []
+    tnf = compile_model(model)
+    stats.stat("variables", tnf.num_vars)
+    stats.stat("propagators", tnf.num_props)
+    init_time = time.monotonic() - t0
+    stats.stat("initTime", f"{init_time:.3f}")
+    if cfg.verbose:
+        print(f"% compiled: {tnf.num_vars} vars, {tnf.num_props} propagators "
+              f"in {init_time:.2f}s", file=sys.stderr)
+
+    timeout_s = (cfg.timeout_ms / 1000.0 - init_time) if cfg.timeout_ms else 1e18
+    timeout_s = max(timeout_s, 0.5)
+    node_limit = cfg.stop_after_n_nodes or (1 << 62)
+
+    if cfg.arch == "cpu":
+        from .solver import oracle
+
+        printer = None
+        if cfg.print_intermediate or not tnf.obj_var >= 0:
+            def printer(blb, bub):
+                print_solution(tnf, blb)
+        r = oracle.solve(tnf, timeout_s=timeout_s,
+                         stop_after_n_solutions=cfg.stop_after_n_solutions,
+                         node_limit=node_limit,
+                         print_intermediate=printer)
+        result = r
+        stats_obj = r.stats
+        best = r.best_lb
+        if best is not None and printer is None:
+            print_solution(tnf, best)
+        print_final_separator(r.status, tnf.obj_var >= 0)
+        if cfg.print_statistics:
+            stats.stat("nodes", stats_obj.nodes)
+            stats.stat("failures", stats_obj.fails)
+            stats.stat("peakDepth", stats_obj.depth_max)
+            stats.stat("solveTime", f"{stats_obj.solve_time:.3f}")
+            stats.stat("num_solutions", stats_obj.solutions)
+            stats.stat("fixpoint_iterations", stats_obj.fixpoint_iterations)
+            stats.stat("num_deductions", stats_obj.num_deductions)
+            if r.objective is not None:
+                stats.stat("objective", r.objective)
+            stats.end()
+        return 0
+
+    # Batched engine (single device or sharded mesh).
+    from .solver.engine import BatchedSolver, EngineConfig
+
+    econf = EngineConfig(num_dives=cfg.or_nodes,
+                         subproblems_power=cfg.subproblems_power,
+                         subproblems_factor=cfg.subproblems_factor,
+                         max_depth=cfg.max_depth)
+    if cfg.arch == "multi":
+        from .parallel.mesh import ShardedSolver
+
+        solver = ShardedSolver(tnf, econf)
+    else:
+        solver = BatchedSolver(tnf, econf)
+    r = solver.solve(timeout_s=timeout_s,
+                     stop_after_n_solutions=cfg.stop_after_n_solutions,
+                     verbose=cfg.verbose >= 2)
+    r.init_time = init_time
+    if r.best_lb is not None:
+        print_solution(tnf, r.best_lb)
+    print_final_separator(r.status, tnf.obj_var >= 0)
+    print_mzn_statistics(stats, r)
+    return 0
+
+
+def main(argv=None) -> int:
+    cfg = parse_args(argv)
+    try:
+        return run(cfg)
+    except Exception as e:  # mirror turbo.cpp's top-level catch
+        print(f"% ERROR: {e}", file=sys.stderr)
+        raise
+
+
+if __name__ == "__main__":
+    sys.exit(main())

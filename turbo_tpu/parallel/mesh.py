@@ -1,0 +1,109 @@
+"""Multi-chip EPS: shard the dive batch over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2c: no MPI/NCCL anywhere); its
+intra-GPU sharing primitives map onto a TPU slice as:
+
+  grid-atomic incumbent bound  ->  `lax.pmin` over the mesh every step
+                                   (rides ICI; barebones:996-997)
+  `next_subproblem` atomic counter -> static per-shard subproblem
+                                   ranges + per-shard on-device counters
+                                   (lazy EPS generation per shard)
+  final `reduce_blocks`        ->  host-side reduction over all shards'
+                                   states (EngineResult already meets
+                                   per-lane stats; shards concatenate).
+
+Each device runs `num_dives` lanes of the batched engine; the only
+cross-device traffic is the one-scalar pmin per step.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..compile.tnf import Tnf
+from ..solver.engine import IDLE, BatchedSolver, EngineConfig, SearchState
+from ..solver.result import EngineResult
+
+
+class ShardedSolver:
+    """BatchedSolver spread over a 1-D 'dives' mesh of devices."""
+
+    def __init__(self, tnf: Tnf, config: EngineConfig = EngineConfig(),
+                 devices=None):
+        self.devices = list(devices if devices is not None else jax.devices())
+        self.n_shards = len(self.devices)
+        self.mesh = Mesh(np.array(self.devices), ("dives",))
+        self.solver = BatchedSolver(tnf, config, axis_name="dives",
+                                    num_shards=self.n_shards)
+        self.plan = self.solver.plan
+        self.opt = self.solver.opt
+        self.num_sub_total = self.solver.num_sub_total
+        self._step_n_cache = {}
+
+    # -- global state --------------------------------------------------
+
+    def init_state(self) -> SearchState:
+        """Global state: shard i's lanes hold subproblem range i."""
+        shards = [self.solver.init_state(shard_idx=i)
+                  for i in range(self.n_shards)]
+        glob = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *shards)
+        sharding = NamedSharding(self.mesh, P("dives"))
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), glob)
+
+    def make_step_n(self, n: int):
+        if n not in self._step_n_cache:
+            local_step = self.solver.step
+
+            @functools.partial(
+                jax.shard_map, mesh=self.mesh,
+                in_specs=P("dives"), out_specs=P("dives"))
+            def sharded_steps(st):
+                # Mark every carry leaf as device-varying up front; the
+                # incumbent pmin makes some outputs varying, and the
+                # while/fori carry types must match.
+                def to_varying(x):
+                    if "dives" in getattr(jax.typeof(x), "vma", ()):
+                        return x
+                    return jax.lax.pvary(x, ("dives",))
+                st = jax.tree.map(to_varying, st)
+                return jax.lax.fori_loop(0, n, lambda i, s: local_step(s), st)
+
+            self._step_n_cache[n] = jax.jit(sharded_steps, donate_argnums=0)
+        return self._step_n_cache[n]
+
+    def solve(self, timeout_s: float = 1e18, chunk: int = 32,
+              stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
+              verbose: bool = False) -> EngineResult:
+        t0 = time.monotonic()
+        if self.plan.root_unsat:
+            return EngineResult.unsat(self)
+        st = self.init_state()
+        step_n = self.make_step_n(chunk)
+        steps = 0
+        stopped = False
+        while True:
+            st = step_n(st)
+            steps += chunk
+            phase, sols = jax.device_get((st.phase, st.sols))
+            if (phase == IDLE).all():
+                break
+            if not self.opt and sols.sum() >= stop_after_n_solutions > 0:
+                stopped = True
+                break
+            if time.monotonic() - t0 > timeout_s or steps >= max_steps:
+                stopped = True
+                break
+        # EngineResult reduction works on the concatenated global state.
+        return EngineResult.from_state(self, st, stopped,
+                                       time.monotonic() - t0)
+
+    # Attributes EngineResult reads.
+    @property
+    def tnf(self):
+        return self.solver.tnf

@@ -66,7 +66,7 @@ class SearchState(NamedTuple):
     subp: jnp.ndarray        # (D,) current subproblem index
     strat: jnp.ndarray       # (D,) current strategy cursor
     snap_strat: jnp.ndarray  # (D,)
-    next_sub: jnp.ndarray    # () next subproblem counter
+    next_sub: jnp.ndarray    # (D,) next subproblem counter (replicated in-shard)
     nonexh: jnp.ndarray      # (D,) search not exhaustive
     nodes: jnp.ndarray       # (D,)
     fails: jnp.ndarray
@@ -76,13 +76,14 @@ class SearchState(NamedTuple):
     dmax: jnp.ndarray
     solved_sub: jnp.ndarray
     skipped_sub: jnp.ndarray
-    # Instance scalars kept as traced data so the compiled program
-    # depends only on the plan's shape signature (cross-instance reuse).
-    obj: jnp.ndarray       # () permuted objective var id
-    is_opt: jnp.ndarray    # () bool
-    kpow: jnp.ndarray      # () subproblems power
-    sub_limit: jnp.ndarray # () this shard's subproblem range end
-    pscale: jnp.ndarray    # () float32: live propagators per sweep
+    # Instance scalars kept as traced per-lane vectors (D,) so the
+    # compiled program depends only on the plan's shape signature
+    # (cross-instance reuse) and shard_map shards them with the lanes.
+    obj: jnp.ndarray       # (D,) permuted objective var id (replicated)
+    is_opt: jnp.ndarray    # (D,) bool (replicated)
+    kpow: jnp.ndarray      # (D,) subproblems power (replicated)
+    sub_limit: jnp.ndarray # (D,) this shard's subproblem range end
+    pscale: jnp.ndarray    # (D,) float32: live propagators per sweep
 
 
 @dataclasses.dataclass
@@ -219,16 +220,17 @@ class BatchedSolver:
             remaining=jnp.full((D,), self.k, dtype=I32),
             subp=subp.astype(I32),
             strat=zeros(), snap_strat=zeros(),
-            next_sub=jnp.asarray(base + D, dtype=I32),
+            next_sub=jnp.full((D,), base + D, dtype=I32),
             nonexh=jnp.zeros((D,), dtype=bool),
             nodes=zeros(), fails=zeros(), sols=zeros(), fpit=zeros(),
             deds=jnp.zeros((D,), dtype=jnp.float32),
             dmax=zeros(), solved_sub=zeros(), skipped_sub=zeros(),
-            obj=jnp.asarray(self.plan.obj, dtype=I32),
-            is_opt=jnp.asarray(bool(self.opt)),
-            kpow=jnp.asarray(self.k, dtype=I32),
-            sub_limit=jnp.asarray(limit, dtype=I32),
-            pscale=jnp.asarray(float(self.plan.num_real_props), dtype=jnp.float32),
+            obj=jnp.full((D,), self.plan.obj, dtype=I32),
+            is_opt=jnp.full((D,), bool(self.opt)),
+            kpow=jnp.full((D,), self.k, dtype=I32),
+            sub_limit=jnp.full((D,), limit, dtype=I32),
+            pscale=jnp.full((D,), float(self.plan.num_real_props),
+                            dtype=jnp.float32),
         )
 
     # -- the step function -------------------------------------------
@@ -238,8 +240,9 @@ class BatchedSolver:
         D = cfg.num_dives
         V = self.plan.V
         MAXD = cfg.max_depth
-        obj = st.obj
-        shard_limit = st.sub_limit
+        obj = st.obj[0]
+        is_opt = st.is_opt[0]
+        shard_limit = st.sub_limit[0]
 
         phase = jnp.where((st.phase == DIVE) & (st.remaining == 0), SOLVE, st.phase)
         act = phase != IDLE
@@ -253,7 +256,7 @@ class BatchedSolver:
         if self.axis_name is not None:
             g = jax.lax.pmin(g, self.axis_name)
         lim = jnp.minimum(g, best_bound) - 1
-        lim = jnp.where(st.is_opt, lim, INF).astype(I32)
+        lim = jnp.where(is_opt, lim, INF).astype(I32)
         newu = jnp.minimum(ub[:, obj], lim)
         ub = ub.at[:, obj].set(jnp.where(in_solve, newu, ub[:, obj]))
 
@@ -270,12 +273,12 @@ class BatchedSolver:
         dmax = jnp.maximum(st.dmax, jnp.where(act, st.depth, 0))
 
         # III. Solutions (all propagators entailed; objective read at lb).
-        impr = act & ent & jnp.where(st.is_opt, lb[:, obj] < best_bound,
+        impr = act & ent & jnp.where(is_opt, lb[:, obj] < best_bound,
                                      ~st.has_best)
         best_lb = jnp.where(impr[:, None], lb, st.best_lb)
         best_ub = jnp.where(impr[:, None], ub, st.best_ub)
         best_bound = jnp.where(
-            impr, jnp.where(st.is_opt, lb[:, obj], 0), best_bound)
+            impr, jnp.where(is_opt, lb[:, obj], 0), best_bound)
         has_best = st.has_best | impr
         sols = st.sols + impr.astype(I32)
 
@@ -380,7 +383,7 @@ class BatchedSolver:
             dleaf & ((st.subp & (jnp.left_shift(1, remaining) - 1)) == 0),
             nxt - st.subp, 0)
         skipped_sub = st.skipped_sub + skip_gain
-        next_sub = jnp.maximum(st.next_sub,
+        next_sub = jnp.maximum(st.next_sub[0],
                                jnp.where(dleaf, nxt, 0).max())
 
         # IX. Refill finished lanes from the subproblem counter
@@ -394,6 +397,7 @@ class BatchedSolver:
 
         phase = jnp.where(want, jnp.where(havework, DIVE, IDLE), phase)
         refill = havework
+        next_sub = jnp.full((D,), next_sub, dtype=I32)
         lb0 = jnp.asarray(self.plan.lb0)
         ub0 = jnp.asarray(self.plan.ub0)
         lb = jnp.where(refill[:, None], lb0[None, :], lb)
@@ -418,10 +422,14 @@ class BatchedSolver:
     # -- host driver --------------------------------------------------
 
     def make_step_n(self, n: int):
-        @functools.partial(jax.jit, donate_argnums=0)
-        def step_n(st):
-            return jax.lax.fori_loop(0, n, lambda i, s: self.step(s), st)
-        return step_n
+        if not hasattr(self, "_step_n_cache"):
+            self._step_n_cache = {}
+        if n not in self._step_n_cache:
+            @functools.partial(jax.jit, donate_argnums=0)
+            def step_n(st):
+                return jax.lax.fori_loop(0, n, lambda i, s: self.step(s), st)
+            self._step_n_cache[n] = step_n
+        return self._step_n_cache[n]
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 32,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,

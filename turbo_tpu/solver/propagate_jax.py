@@ -242,9 +242,11 @@ class PropagatorKernels:
             iters = iters + changed.astype(I32)
             return lb2, ub2, iters, dchanged & ~bot, it + 1
 
-        D = lb.shape[0]
-        init = (lb, ub, jnp.zeros(D, dtype=I32), jnp.ones(D, dtype=bool),
-                jnp.array(0, dtype=I32))
+        # Derive loop-carry inits from lb so they inherit its
+        # varying-manual-axes type under shard_map (fresh constants
+        # would be 'unvarying' and fail the while_loop carry check).
+        zero_lane = lb[:, 0] * 0
+        init = (lb, ub, zero_lane, zero_lane == 0, zero_lane[0])
         lb, ub, iters, _, _ = jax.lax.while_loop(cond, body, init)
         return lb, ub, iters + 1
 

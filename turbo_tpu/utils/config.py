@@ -1,0 +1,100 @@
+"""Command-line configuration, mirroring the reference's flag surface.
+
+The accepted flags follow the reference's `parse_args`
+(src/config.cpp:128-220; usage text at src/config.cpp:11-44) so the
+solver is a drop-in for MiniZinc `.msc` integration, plus TPU-specific
+extras. Arch names: `cpu` = sequential oracle; `tpu` (alias
+`barebones`, `gpu`) = batched dive-and-solve on the accelerator;
+`multi` = dive batch sharded over all visible devices.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Configuration:
+    problem_path: str = ""
+    arch: str = "tpu"
+    timeout_ms: int = 0                  # 0 = no timeout (-t)
+    print_all_solutions: bool = False    # -a
+    stop_after_n_solutions: int = 1      # -n
+    print_intermediate: bool = False     # -i
+    free_search: bool = False            # -f
+    print_statistics: bool = False       # -s
+    verbose: int = 0                     # -v (counted)
+    print_ast: bool = False              # -ast
+    or_nodes: int = 64                   # -or (dives per device)
+    subproblems_power: int = 0           # -sub (2^n subproblems)
+    subproblems_factor: int = 300        # -subfactor
+    stop_after_n_nodes: int = 0          # -cutnodes (0 = inf)
+    seed: int = 1                        # -seed
+    max_depth: int = 256                 # -stack analog: decision stack depth
+    eps_var_order: str = "default"
+    eps_value_order: str = "default"
+    disable_simplify: bool = False
+    force_ternarize: bool = False
+    disable_network_analysis: bool = False
+
+
+def parse_args(argv=None) -> Configuration:
+    p = argparse.ArgumentParser(
+        prog="turbo-tpu",
+        description="TPU-native FlatZinc constraint solver "
+                    "(propagate-and-search, EPS dive-and-solve)")
+    p.add_argument("problem", help="path to .fzn model")
+    p.add_argument("-t", type=int, default=0, metavar="MS",
+                   help="timeout in milliseconds (0 = none)")
+    p.add_argument("-a", action="store_true",
+                   help="print all solutions (satisfaction)")
+    p.add_argument("-n", type=int, default=1, metavar="N",
+                   help="stop after N solutions (satisfaction)")
+    p.add_argument("-i", action="store_true",
+                   help="print intermediate solutions (optimization)")
+    p.add_argument("-f", action="store_true",
+                   help="free search: ignore model search annotations")
+    p.add_argument("-s", action="store_true", help="print statistics")
+    p.add_argument("-v", action="count", default=0, help="verbose (repeatable)")
+    p.add_argument("-ast", action="store_true", help="print the parsed model")
+    p.add_argument("-arch", default="tpu",
+                   choices=["cpu", "tpu", "barebones", "gpu", "hybrid", "multi"],
+                   help="solver architecture")
+    p.add_argument("-or", dest="or_nodes", type=int, default=64,
+                   help="parallel dives per device (GPU blocks analog)")
+    p.add_argument("-p", dest="and_nodes", type=int, default=0,
+                   help="accepted for compatibility (threads)")
+    p.add_argument("-sub", type=int, default=0, metavar="N",
+                   help="create 2^N EPS subproblems")
+    p.add_argument("-subfactor", type=int, default=300,
+                   help="subproblems per dive lane (auto -sub)")
+    p.add_argument("-cutnodes", type=int, default=0,
+                   help="stop after N nodes (0 = no limit)")
+    p.add_argument("-seed", type=int, default=1)
+    p.add_argument("-stack", type=int, default=256, metavar="DEPTH",
+                   help="decision stack depth per dive")
+    p.add_argument("-eps_var_order", default="default")
+    p.add_argument("-eps_value_order", default="default")
+    p.add_argument("-fp", default="ac1", choices=["ac1", "wac1"],
+                   help="fixpoint variant (wac1 accepted; engine uses ac1)")
+    p.add_argument("-wac1_threshold", type=int, default=0)
+    p.add_argument("-disable_simplify", action="store_true")
+    p.add_argument("-force_ternarize", action="store_true")
+    p.add_argument("-disable_network_analysis", action="store_true")
+    p.add_argument("-version", action="version", version="turbo-tpu 0.1.0")
+    a = p.parse_args(argv)
+    arch = {"barebones": "tpu", "gpu": "tpu", "hybrid": "tpu"}.get(a.arch, a.arch)
+    return Configuration(
+        problem_path=a.problem, arch=arch, timeout_ms=a.t,
+        print_all_solutions=a.a,
+        stop_after_n_solutions=(0 if a.a else a.n),
+        print_intermediate=a.i or a.a, free_search=a.f,
+        print_statistics=a.s, verbose=a.v, print_ast=a.ast,
+        or_nodes=a.or_nodes, subproblems_power=a.sub,
+        subproblems_factor=a.subfactor, stop_after_n_nodes=a.cutnodes,
+        seed=a.seed, max_depth=a.stack,
+        eps_var_order=a.eps_var_order, eps_value_order=a.eps_value_order,
+        disable_simplify=a.disable_simplify,
+        force_ternarize=a.force_ternarize,
+        disable_network_analysis=a.disable_network_analysis)
