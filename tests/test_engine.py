@@ -1,0 +1,189 @@
+"""Batched engine tests: golden objectives, oracle equivalence,
+propagation cross-checks, multi-chip sharding."""
+import glob
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from turbo_tpu.frontend.fzn import parse_fzn, parse_fzn_text
+from turbo_tpu.compile.model import compile_model
+from turbo_tpu.core.ops import INF, NINF
+from turbo_tpu.solver import deduce_np
+from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
+from turbo_tpu.solver.oracle import PropTable, solve as oracle_solve
+from turbo_tpu.solver.plan import build_plan
+from turbo_tpu.solver.propagate_jax import PropagatorKernels
+
+GOLDEN = [
+    ("minimize_unconstrained", 1),
+    ("maximize_unconstrained", 2),
+    ("reified_in", 1),
+    ("bug1", -10),
+    ("bug3", 0),
+    ("bug5", 2),
+    ("sudoku_opt2", -2),
+    ("sudoku_opt2_max", 2),
+    ("sudoku_opt3", -2),
+    ("sudoku_opt3b", 2),
+    ("sudoku_opt4", -16),
+    ("sudoku_opt4b", 0),
+]
+
+
+@pytest.mark.parametrize("name,expected", GOLDEN, ids=[c[0] for c in GOLDEN])
+def test_engine_golden(name, expected, bench_dir):
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / f"{name}.fzn")))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=8, subproblems_power=5,
+                                        max_depth=64))
+    r = s.solve(timeout_s=120, chunk=16)
+    assert r.status == "optimal"
+    assert r.objective == expected
+
+
+@pytest.mark.slow
+def test_engine_golden_sudoku_p0(bench_dir):
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / "sudoku_opt_p0.fzn")))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=16, subproblems_power=6,
+                                        max_depth=128))
+    r = s.solve(timeout_s=240, chunk=32)
+    assert r.status == "optimal" and r.objective == -3
+
+
+def test_engine_matches_oracle_on_random_models():
+    """Differential test: random tiny optimization models, engine vs
+    oracle must agree on the optimum (or both prove unsat)."""
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = 4
+        lines = []
+        for i in range(n):
+            lines.append(f"var {rng.integers(-3, 1)}..{rng.integers(2, 6)}: x{i};")
+        # random linear constraints
+        for c in range(4):
+            coeffs = rng.integers(-3, 4, size=n)
+            k = int(rng.integers(-5, 15))
+            cs = ",".join(str(int(v)) for v in coeffs)
+            xs = ",".join(f"x{i}" for i in range(n))
+            lines.append(f"constraint int_lin_le([{cs}], [{xs}], {k});")
+        lines.append("constraint int_times(x0, x1, x2);")
+        lines.append(f"solve minimize x{int(rng.integers(0, n))};")
+        text = "\n".join(lines)
+        tnf = compile_model(parse_fzn_text(text))
+        ro = oracle_solve(tnf, timeout_s=30)
+        s = BatchedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=3,
+                                            max_depth=64))
+        re = s.solve(timeout_s=60, chunk=8)
+        assert ro.status == re.status, (trial, text, ro.status, re.status)
+        assert ro.objective == re.objective, (trial, text)
+
+
+def test_jax_propagation_matches_numpy():
+    """Fixpoint of the JAX kernels == fixpoint of the numpy oracle rules
+    on randomly narrowed stores of a real instance."""
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/sudoku_opt3.fzn"))
+    plan = build_plan(tnf)
+    kernels = PropagatorKernels(plan)
+    table = PropTable(tnf)
+    rng = np.random.default_rng(3)
+
+    D = 4
+    Vr = tnf.num_vars
+    lbs, ubs = [], []
+    for d in range(D):
+        lb = tnf.lb0.copy()
+        ub = tnf.ub0.copy()
+        # randomly narrow some vars (soundly: sub-intervals)
+        for v in rng.choice(Vr, size=5, replace=False):
+            if lb[v] < ub[v]:
+                lo = rng.integers(lb[v], ub[v] + 1)
+                hi = rng.integers(lo, ub[v] + 1)
+                lb[v], ub[v] = lo, hi
+        lbs.append(lb)
+        ubs.append(ub)
+
+    # numpy fixpoints per dive
+    np_results = []
+    for lb, ub in zip(lbs, ubs):
+        l, u = lb.copy(), ub.copy()
+        table.propagate(l, u)
+        np_results.append((l, u))
+
+    # jax fixpoint batched (permuted ids)
+    lbp = np.stack([plan.lb0.copy() for _ in range(D)])
+    ubp = np.stack([plan.ub0.copy() for _ in range(D)])
+    for d in range(D):
+        lbp[d, plan.perm] = lbs[d]
+        ubp[d, plan.perm] = ubs[d]
+    jl, ju, _ = jax.jit(kernels.fixpoint)(jnp.asarray(lbp, jnp.int32),
+                                          jnp.asarray(ubp, jnp.int32))
+    jl, ju = np.asarray(jl), np.asarray(ju)
+
+    for d in range(D):
+        nl, nu = np_results[d]
+        bot_np = (nl > nu).any()
+        gl = jl[d][plan.perm]
+        gu = ju[d][plan.perm]
+        bot_jx = (jl[d] > ju[d]).any()
+        assert bot_np == bot_jx, f"dive {d}: bot mismatch"
+        if not bot_np:
+            # The plan drops root-entailed props, so the device fixpoint
+            # can only differ on vars those props would have pruned;
+            # both must agree on all vars of live propagators.
+            np.testing.assert_array_equal(gl, nl, err_msg=f"dive {d} lb")
+            np.testing.assert_array_equal(gu, nu, err_msg=f"dive {d} ub")
+
+
+def test_sharded_matches_single(bench_dir):
+    from turbo_tpu.parallel.mesh import ShardedSolver
+
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / "sudoku_opt4.fzn")))
+    s1 = BatchedSolver(tnf, EngineConfig(num_dives=8, subproblems_power=6,
+                                         max_depth=64))
+    r1 = s1.solve(timeout_s=120, chunk=16)
+    s8 = ShardedSolver(tnf, EngineConfig(num_dives=2, subproblems_power=6,
+                                         max_depth=64))
+    r8 = s8.solve(timeout_s=120, chunk=16)
+    assert r1.status == r8.status == "optimal"
+    assert r1.objective == r8.objective == -16
+
+
+def test_satisfaction_mode():
+    tnf = compile_model(parse_fzn_text(
+        """
+        var 1..3: x :: output_var;
+        var 1..3: y :: output_var;
+        constraint int_ne(x, y);
+        solve satisfy;
+        """
+    ))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=3,
+                                        max_depth=16))
+    r = s.solve(timeout_s=60, chunk=8)
+    assert r.status == "sat"
+    assert r.best_lb is not None
+    # the witness must satisfy the constraint
+    xs = [i for i, n in enumerate(tnf.names) if n == "x"]
+    ys = [i for i, n in enumerate(tnf.names) if n == "y"]
+    assert r.best_lb[xs[0]] != r.best_lb[ys[0]]
+
+
+def test_unsat_detected():
+    tnf = compile_model(parse_fzn_text(
+        """
+        var 1..2: x;
+        var 1..2: y;
+        var 1..2: z;
+        constraint int_ne(x, y);
+        constraint int_ne(y, z);
+        constraint int_ne(x, z);
+        solve satisfy;
+        """
+    ))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=3,
+                                        max_depth=16))
+    r = s.solve(timeout_s=60, chunk=8)
+    assert r.status == "unsat"
