@@ -93,6 +93,13 @@ class EngineConfig:
     subproblems_factor: int = 300  # reference default (config.hpp:76)
     max_depth: int = 256         # decision stack depth (MAXD)
     fp_max_iters: int = 10000
+    # "fixpoint": AC-1 until no change (reference semantics).
+    # "fixed": exactly fp_fixed_iters sweeps per step - cheaper per node
+    # (no convergence loop, pure lockstep), sound because entailment and
+    # failure detection stay exact; un-decided nodes simply propagate
+    # further on the next step before branching.
+    fp_mode: str = "fixpoint"
+    fp_fixed_iters: int = 2
 
 
 class BatchedSolver:
@@ -260,8 +267,11 @@ class BatchedSolver:
         newu = jnp.minimum(ub[:, obj], lim)
         ub = ub.at[:, obj].set(jnp.where(in_solve, newu, ub[:, obj]))
 
-        # II. Propagate to fixpoint.
-        lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
+        # II. Propagate (to fixpoint, or a fixed number of sweeps).
+        if cfg.fp_mode == "fixed":
+            lb, ub, iters = self.kernels.fixed_sweeps(lb, ub, cfg.fp_fixed_iters)
+        else:
+            lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
         bot = self.kernels.is_bot(lb, ub)
         ent = self.kernels.all_entailed(lb, ub) & ~bot
         leaf = bot | ent
@@ -285,9 +295,18 @@ class BatchedSolver:
         # IV. Branch variable selection.
         found, var, nstrat, valo = self._select(lb, ub, st.strat)
         no_split = act & ~leaf & ~found
-        nonexh = st.nonexh | no_split
-        leaf = leaf | no_split
-        branching = act & ~leaf
+        # No splittable var: if some unfixed (necessarily unbounded) var
+        # remains, search is incomplete (reference: exhaustive=false,
+        # barebones:688-695). If everything is fixed but undecided (only
+        # possible before reaching the propagation fixpoint in "fixed"
+        # mode), hold the lane: it keeps propagating next step.
+        any_unfixed = jnp.any(lb[:, :self.plan.n_active] <
+                              ub[:, :self.plan.n_active], axis=1)
+        incomplete = no_split & any_unfixed
+        waiting = no_split & ~any_unfixed
+        nonexh = st.nonexh | incomplete
+        leaf = leaf | incomplete
+        branching = act & ~leaf & ~waiting
 
         lo = jnp.take_along_axis(lb, var[:, None], axis=1)[:, 0]
         hi = jnp.take_along_axis(ub, var[:, None], axis=1)[:, 0]

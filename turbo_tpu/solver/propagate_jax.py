@@ -250,6 +250,16 @@ class PropagatorKernels:
         lb, ub, iters, _, _ = jax.lax.while_loop(cond, body, init)
         return lb, ub, iters + 1
 
+    def fixed_sweeps(self, lb, ub, n: int):
+        """Exactly n AC-1 sweeps, no convergence check (lockstep, no
+        while_loop). Sound: meets only; callers treat non-fixpoint
+        stores conservatively. Returns (lb, ub, iters (D,))."""
+        if self.P == 0:
+            return lb, ub, jnp.zeros(lb.shape[0], dtype=I32)
+        for _ in range(n):
+            lb, ub = self.iteration(lb, ub)
+        return lb, ub, jnp.full(lb.shape[0], n, dtype=I32)
+
     # -- entailment ---------------------------------------------------
 
     def all_entailed(self, lb, ub):
