@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Golden-objective regression runner.
+
+Port of the reference's test_turbo.sh (regression over
+benchmarks/test_list.csv with a per-instance time budget; a timeout
+without a wrong bound is tolerated, a wrong bound fails —
+test_turbo.sh:27-76).
+
+Usage:
+  python scripts/regression.py [--arch cpu|tpu|multi] [--timeout 60]
+                               [--list /path/test_list.csv] [--or 32]
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="tpu", choices=["cpu", "tpu", "multi"])
+    ap.add_argument("--timeout", type=float, default=60.0)
+    ap.add_argument("--list", dest="list_path",
+                    default="/root/reference/benchmarks/test_list.csv")
+    ap.add_argument("--or", dest="or_nodes", type=int, default=32)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from turbo_tpu.frontend.fzn import parse_fzn
+    from turbo_tpu.frontend.xcsp3 import parse_xcsp3
+    from turbo_tpu.compile.model import compile_model
+
+    base = os.path.dirname(os.path.dirname(args.list_path))
+    rows = list(csv.reader(open(args.list_path)))
+    failures = 0
+    timeouts = 0
+    for path, exp in rows:
+        exp = int(exp)
+        full = os.path.join(base, path)
+        name = os.path.basename(path)
+        t0 = time.time()
+        try:
+            model = parse_xcsp3(full) if full.endswith(".xml") else parse_fzn(full)
+            tnf = compile_model(model)
+            if args.arch == "cpu":
+                from turbo_tpu.solver.oracle import solve
+                r = solve(tnf, timeout_s=args.timeout)
+            else:
+                from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
+                cfgc = EngineConfig(num_dives=args.or_nodes, max_depth=512)
+                if args.arch == "multi":
+                    from turbo_tpu.parallel.mesh import ShardedSolver
+                    s = ShardedSolver(tnf, cfgc)
+                else:
+                    s = BatchedSolver(tnf, cfgc)
+                r = s.solve(timeout_s=args.timeout)
+            dt = time.time() - t0
+            if r.status == "optimal" and r.objective == exp:
+                print(f"OK   {name:34s} obj={r.objective} t={dt:.1f}s")
+            elif r.status in ("sat", "unknown"):
+                if r.objective is not None and _bound_impossible(r, exp, tnf):
+                    failures += 1
+                    print(f"FAIL {name:34s} bound {r.objective} contradicts "
+                          f"expected {exp}")
+                else:
+                    timeouts += 1
+                    print(f"TIME {name:34s} best={r.objective} t={dt:.1f}s")
+            else:
+                failures += 1
+                print(f"FAIL {name:34s} got={r.objective} st={r.status} "
+                      f"exp={exp}")
+        except Exception as e:
+            failures += 1
+            print(f"ERR  {name:34s} {type(e).__name__}: {e}")
+        sys.stdout.flush()
+    print(f"\n{len(rows)} instances: {len(rows)-failures-timeouts} ok, "
+          f"{timeouts} timeout, {failures} failed")
+    return 1 if failures else 0
+
+
+def _bound_impossible(r, exp, tnf):
+    """An intermediate bound strictly better than the known optimum is a
+    soundness bug (objectives: minimize prints lb; maximize prints ub)."""
+    if tnf.is_max:
+        return r.objective > exp
+    return r.objective < exp
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,7 +20,13 @@ def run(cfg: Configuration) -> int:
     stats = MznStats(cfg.print_statistics)
     t0 = time.monotonic()
     stats.stat("comandLine", f"turbo-tpu {cfg.problem_path}")
-    model = parse_fzn(cfg.problem_path)
+    # Input-format sniffing by extension (config.hpp:268-279).
+    if cfg.problem_path.endswith(".xml"):
+        from .frontend.xcsp3 import parse_xcsp3
+
+        model = parse_xcsp3(cfg.problem_path)
+    else:
+        model = parse_fzn(cfg.problem_path)
     stats.stat("parsed_variables", len(model.vars))
     stats.stat("parsed_constraints", len(model.constraints))
     if cfg.free_search:
