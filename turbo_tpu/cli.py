@@ -80,16 +80,23 @@ def run(cfg: Configuration) -> int:
     econf = EngineConfig(num_dives=cfg.or_nodes,
                          subproblems_power=cfg.subproblems_power,
                          subproblems_factor=cfg.subproblems_factor,
-                         max_depth=cfg.max_depth)
+                         max_depth=cfg.max_depth,
+                         eps_var_order=cfg.eps_var_order,
+                         eps_value_order=cfg.eps_value_order,
+                         seed=cfg.seed)
     if cfg.arch == "multi":
         from .parallel.mesh import ShardedSolver
 
         solver = ShardedSolver(tnf, econf)
     else:
         solver = BatchedSolver(tnf, econf)
+    on_improve = None
+    if cfg.print_intermediate:
+        def on_improve(best_lb_tnf):
+            print_solution(tnf, best_lb_tnf)
     r = solver.solve(timeout_s=timeout_s,
                      stop_after_n_solutions=cfg.stop_after_n_solutions,
-                     verbose=cfg.verbose >= 2)
+                     verbose=cfg.verbose >= 2, on_improve=on_improve)
     r.init_time = init_time
     if r.best_lb is not None:
         print_solution(tnf, r.best_lb)

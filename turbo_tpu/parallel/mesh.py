@@ -79,7 +79,7 @@ class ShardedSolver:
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 32,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
-              verbose: bool = False) -> EngineResult:
+              verbose: bool = False, on_improve=None) -> EngineResult:
         t0 = time.monotonic()
         if self.plan.root_unsat:
             return EngineResult.unsat(self)
@@ -91,6 +91,15 @@ class ShardedSolver:
             st = step_n(st)
             steps += chunk
             phase, sols = jax.device_get((st.phase, st.sols))
+            if on_improve is not None:
+                bb = int(jax.device_get(st.best_bound.min()))
+                if not hasattr(self, "_last_best"):
+                    self._last_best = 1 << 40
+                if bb < self._last_best:
+                    self._last_best = bb
+                    bbs, blb = jax.device_get((st.best_bound, st.best_lb))
+                    d = int(np.argmin(bbs))
+                    on_improve(blb[d][self.plan.perm])
             if (phase == IDLE).all():
                 break
             if not self.opt and sols.sum() >= stop_after_n_solutions > 0:

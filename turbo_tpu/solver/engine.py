@@ -84,6 +84,7 @@ class SearchState(NamedTuple):
     kpow: jnp.ndarray      # (D,) subproblems power (replicated)
     sub_limit: jnp.ndarray # (D,) this shard's subproblem range end
     pscale: jnp.ndarray    # (D,) float32: live propagators per sweep
+    eps_strat: jnp.ndarray # (D,) 1 if an EPS dive strategy is prepended
 
 
 @dataclasses.dataclass
@@ -100,6 +101,11 @@ class EngineConfig:
     # further on the next step before branching.
     fp_mode: str = "fixpoint"
     fp_fixed_iters: int = 2
+    # Distinct strategy for the diving phase (push_eps_strategy,
+    # common_solving.hpp:652-667); "default" = none.
+    eps_var_order: str = "default"
+    eps_value_order: str = "default"
+    seed: int = 1
 
 
 class BatchedSolver:
@@ -110,6 +116,7 @@ class BatchedSolver:
         self.axis_name = axis_name
         self.num_shards = num_shards
         self.plan = build_plan(tnf)
+        self._apply_strategy_config()
         self.kernels = PropagatorKernels(self.plan)
         D = config.num_dives
         k = config.subproblems_power
@@ -123,6 +130,32 @@ class BatchedSolver:
         self._strategy_tables = self._build_strategy_tables()
 
     # -- strategies ---------------------------------------------------
+
+    def _apply_strategy_config(self):
+        """Seed-shuffle 'random' strategies and prepend the EPS dive
+        strategy (split->shuffle_random_strategies + push_eps_strategy,
+        common_solving.hpp:631-667)."""
+        import numpy as _np
+        from .plan import PlanStrategy
+        rng = _np.random.default_rng(self.cfg.seed)
+        for st in self.plan.strategies:
+            if st.var_order == "random":
+                ids = st.ids.copy()
+                rng.shuffle(ids)
+                st.ids = ids
+                st.var_order = "input_order"
+        self.has_eps = self.cfg.eps_var_order != "default"
+        if self.has_eps:
+            base = self.plan.strategies[-1]  # default whole-store strategy
+            eps = PlanStrategy(self.cfg.eps_var_order,
+                               self.cfg.eps_value_order
+                               if self.cfg.eps_value_order != "default"
+                               else "indomain_min",
+                               base.ids.copy())
+            self.plan.strategies.insert(0, eps)
+            # Re-pad the strategy list to a power of two.
+            while len(self.plan.strategies) & (len(self.plan.strategies) - 1):
+                self.plan.strategies.append(self.plan.strategies[-1])
 
     def _build_strategy_tables(self):
         ids = [jnp.asarray(s.ids.astype(np.int32)) for s in self.plan.strategies]
@@ -238,6 +271,8 @@ class BatchedSolver:
             sub_limit=jnp.full((D,), limit, dtype=I32),
             pscale=jnp.full((D,), float(self.plan.num_real_props),
                             dtype=jnp.float32),
+            eps_strat=jnp.full((D,), int(getattr(self, "has_eps", False)),
+                               dtype=I32),
         )
 
     # -- the step function -------------------------------------------
@@ -251,7 +286,12 @@ class BatchedSolver:
         is_opt = st.is_opt[0]
         shard_limit = st.sub_limit[0]
 
-        phase = jnp.where((st.phase == DIVE) & (st.remaining == 0), SOLVE, st.phase)
+        promote = (st.phase == DIVE) & (st.remaining == 0)
+        phase = jnp.where(promote, SOLVE, st.phase)
+        # After the dive, skip the EPS strategy if one is configured
+        # (barebones:748-752).
+        strat0 = jnp.where(promote, jnp.maximum(st.strat, st.eps_strat),
+                           st.strat)
         act = phase != IDLE
         in_dive = phase == DIVE
         in_solve = phase == SOLVE
@@ -293,7 +333,7 @@ class BatchedSolver:
         sols = st.sols + impr.astype(I32)
 
         # IV. Branch variable selection.
-        found, var, nstrat, valo = self._select(lb, ub, st.strat)
+        found, var, nstrat, valo = self._select(lb, ub, strat0)
         no_split = act & ~leaf & ~found
         # No splittable var: if some unfixed (necessarily unbounded) var
         # remains, search is incomplete (reference: exhaustive=false,
@@ -328,7 +368,7 @@ class BatchedSolver:
         snap = solve_br & (st.depth == 0)
         root_lb = jnp.where(snap[:, None], lb, st.root_lb)
         root_ub = jnp.where(snap[:, None], ub, st.root_ub)
-        snap_strat = jnp.where(snap, st.strat, st.snap_strat)
+        snap_strat = jnp.where(snap, strat0, st.snap_strat)
 
         dd = jnp.clip(st.depth, 0, MAXD - 1)
         parent = jnp.clip(st.depth - 1, 0, MAXD - 1)
@@ -390,7 +430,7 @@ class BatchedSolver:
         lb = jnp.where(restore[:, None], reb_lb, lb)
         ub = jnp.where(restore[:, None], reb_ub, ub)
         depth = jnp.where(restore, t, depth)
-        strat = jnp.where(branching, nstrat, st.strat)
+        strat = jnp.where(branching, nstrat, strat0)
         strat = jnp.where(restore, snap_strat, strat)
 
         # VIII. Dive leaves: skip the unreachable subtree
@@ -436,7 +476,8 @@ class BatchedSolver:
             nonexh=nonexh, nodes=nodes, fails=fails, sols=sols, fpit=fpit,
             deds=deds, dmax=dmax, solved_sub=solved_sub,
             skipped_sub=skipped_sub, obj=st.obj, is_opt=st.is_opt,
-            kpow=st.kpow, sub_limit=st.sub_limit, pscale=st.pscale)
+            kpow=st.kpow, sub_limit=st.sub_limit, pscale=st.pscale,
+            eps_strat=st.eps_strat)
 
     # -- host driver --------------------------------------------------
 
@@ -452,8 +493,12 @@ class BatchedSolver:
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 32,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
-              verbose: bool = False):
-        """Single-device host loop. Returns a result dict."""
+              verbose: bool = False, on_improve=None):
+        """Single-device host loop. Returns an EngineResult.
+
+        on_improve(best_lb_tnf_ids): called whenever the global
+        incumbent improves (for -i intermediate solution printing).
+        """
         from .result import EngineResult  # local import to avoid cycle
         t0 = time.monotonic()
         if self.plan.root_unsat:
@@ -462,10 +507,19 @@ class BatchedSolver:
         step_n = self.make_step_n(chunk)
         steps = 0
         stopped = False
+        last_best = INF + 1
         while True:
             st = step_n(st)
             steps += chunk
             phase, sols = jax.device_get((st.phase, st.sols))
+            if on_improve is not None:
+                bb = int(jax.device_get(st.best_bound.min()))
+                if bb < last_best:
+                    last_best = bb
+                    bbs, blb = jax.device_get((st.best_bound, st.best_lb))
+                    import numpy as _np
+                    d = int(_np.argmin(bbs))
+                    on_improve(blb[d][self.plan.perm])
             if (phase == IDLE).all():
                 break
             if not self.opt and sols.sum() >= stop_after_n_solutions > 0:
