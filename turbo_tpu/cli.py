@@ -34,6 +34,10 @@ def run(cfg: Configuration) -> int:
     tnf = compile_model(model)
     stats.stat("variables", tnf.num_vars)
     stats.stat("propagators", tnf.num_props)
+    if cfg.print_statistics and not cfg.disable_network_analysis:
+        from .compile.analyze import print_analysis
+
+        print_analysis(stats, model, tnf)
     init_time = time.monotonic() - t0
     stats.stat("initTime", f"{init_time:.3f}")
     if cfg.verbose:
