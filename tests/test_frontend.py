@@ -80,3 +80,22 @@ def test_cse_dedups_shared_linear_terms():
     # The duplicate lin_le shares the whole sum tree: no extra props,
     # the tighter bound lands in the domain meet.
     assert t1.num_props == t2.num_props
+
+
+@pytest.mark.parametrize("path", PARSEABLE[:12], ids=lambda p: p.split("/")[-1])
+def test_native_parser_matches_python(path):
+    from turbo_tpu.frontend.fzn import parse_fzn, parse_fzn_text
+    from turbo_tpu.frontend.native import parse_fzn_native
+
+    text = open(path).read()
+    mp = parse_fzn_text(text, path)
+    mn = parse_fzn_native(text, path)
+    if mn is None:
+        pytest.skip("native parser unavailable")
+    assert [(v.name, v.is_bool, v.lb, v.ub, v.sparse, v.output_var, v.alias)
+            for v in mp.vars] == \
+           [(v.name, v.is_bool, v.lb, v.ub, v.sparse, v.output_var, v.alias)
+            for v in mn.vars]
+    assert [(c.name, repr(c.args), c.defines) for c in mp.constraints] == \
+           [(c.name, repr(c.args), c.defines) for c in mn.constraints]
+    assert mp.solve == mn.solve

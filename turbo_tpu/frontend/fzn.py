@@ -365,7 +365,16 @@ def _apply_var_anns(vd: VarDecl, anns):
             vd.defined = True
 
 
-def parse_fzn(path: str) -> Model:
+def parse_fzn(path: str, use_native: bool = True) -> Model:
     with open(path, "r") as f:
         text = f.read()
+    if use_native:
+        try:
+            from .native import parse_fzn_native
+
+            m = parse_fzn_native(text, path)
+            if m is not None:
+                return m
+        except Exception:
+            pass  # fall back to the pure-Python parser
     return parse_fzn_text(text, path)
