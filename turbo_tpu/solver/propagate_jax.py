@@ -184,6 +184,18 @@ class PropagatorKernels:
         self.n_active = plan.n_active
         self.V = plan.V
         self.P = plan.P
+        # Concatenated operand indices (group order): one gather per
+        # role per bound instead of one per (group, role) — gathers are
+        # the expensive op class on TPU, so consolidate them.
+        if plan.groups:
+            self.all_x = jnp.asarray(np.concatenate([g[1] for g in plan.groups]))
+            self.all_y = jnp.asarray(np.concatenate([g[2] for g in plan.groups]))
+            self.all_z = jnp.asarray(np.concatenate([g[3] for g in plan.groups]))
+        self.group_slices = []
+        base = 0
+        for op, xs, _, _ in plan.groups:
+            self.group_slices.append((op, base, base + len(xs)))
+            base += len(xs)
 
     # -- one AC-1 iteration ------------------------------------------
 
@@ -192,15 +204,19 @@ class PropagatorKernels:
         if self.P == 0:
             return lb, ub
         D = lb.shape[0]
+        # Six consolidated gathers (one per role x bound), then per-op
+        # rule compute on static slices (pure elementwise, fuses).
+        LX, UX = lb[:, self.all_x], ub[:, self.all_x]
+        LY, UY = lb[:, self.all_y], ub[:, self.all_y]
+        LZ, UZ = lb[:, self.all_z], ub[:, self.all_z]
         # Role-major candidate layout (see plan.py): a plain concat of
         # per-group outputs; interleaved layouts cost XLA-TPU an
         # enormous layout-assignment blowup.
         xls, yls, zls, xus, yus, zus = [], [], [], [], [], []
-        for op, xs, ys, zs in self.groups:
-            lx, ux = lb[:, xs], ub[:, xs]
-            ly, uy = lb[:, ys], ub[:, ys]
-            lz, uz = lb[:, zs], ub[:, zs]
-            cxl, cxu, cyl, cyu, czl, czu = _deduce_group(op, lx, ux, ly, uy, lz, uz)
+        for op, a, b in self.group_slices:
+            cxl, cxu, cyl, cyu, czl, czu = _deduce_group(
+                op, LX[:, a:b], UX[:, a:b], LY[:, a:b], UY[:, a:b],
+                LZ[:, a:b], UZ[:, a:b])
             xls.append(cxl); yls.append(cyl); zls.append(czl)
             xus.append(cxu); yus.append(cyu); zus.append(czu)
         cand_l = jnp.concatenate(
@@ -267,10 +283,13 @@ class PropagatorKernels:
         barebones_dive_and_solve.hpp:992-1009)."""
         if self.P == 0:
             return jnp.ones(lb.shape[0], dtype=bool)
+        LX, UX = lb[:, self.all_x], ub[:, self.all_x]
+        LY, UY = lb[:, self.all_y], ub[:, self.all_y]
+        LZ, UZ = lb[:, self.all_z], ub[:, self.all_z]
         out = jnp.ones(lb.shape[0], dtype=bool)
-        for op, xs, ys, zs in self.groups:
-            ok = _ask_group(op, lb[:, xs], ub[:, xs], lb[:, ys], ub[:, ys],
-                            lb[:, zs], ub[:, zs])
+        for op, a, b in self.group_slices:
+            ok = _ask_group(op, LX[:, a:b], UX[:, a:b], LY[:, a:b],
+                            UY[:, a:b], LZ[:, a:b], UZ[:, a:b])
             out = out & ok.all(axis=1)
         return out
 
