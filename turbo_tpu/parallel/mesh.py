@@ -74,7 +74,16 @@ class ShardedSolver:
                 st = jax.tree.map(to_varying, st)
                 return jax.lax.fori_loop(0, n, lambda i, s: local_step(s), st)
 
-            self._step_n_cache[n] = jax.jit(sharded_steps, donate_argnums=0)
+            from ..solver.exec_cache import cached_compile
+            program_key = ("sharded_step_n", n, self.plan.shape_signature,
+                           self.solver.cfg.num_dives,
+                           self.solver.cfg.max_depth,
+                           self.solver.cfg.fp_mode,
+                           self.solver.cfg.fp_fixed_iters,
+                           self.solver.cfg.fp_max_iters, self.n_shards)
+            self._step_n_cache[n] = cached_compile(
+                jax.jit(sharded_steps, donate_argnums=0),
+                (self.init_state(),), program_key, verbose=True)
         return self._step_n_cache[n]
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 32,

@@ -488,7 +488,13 @@ class BatchedSolver:
             @functools.partial(jax.jit, donate_argnums=0)
             def step_n(st):
                 return jax.lax.fori_loop(0, n, lambda i, s: self.step(s), st)
-            self._step_n_cache[n] = step_n
+            from .exec_cache import cached_compile
+            program_key = ("step_n", n, self.plan.shape_signature,
+                           self.cfg.num_dives, self.cfg.max_depth,
+                           self.cfg.fp_mode, self.cfg.fp_fixed_iters,
+                           self.cfg.fp_max_iters, self.axis_name)
+            self._step_n_cache[n] = cached_compile(
+                step_n, (self.init_state(),), program_key, verbose=True)
         return self._step_n_cache[n]
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 32,
