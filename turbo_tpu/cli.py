@@ -100,6 +100,8 @@ def run(cfg: Configuration) -> int:
             print_solution(tnf, best_lb_tnf)
     r = solver.solve(timeout_s=timeout_s,
                      stop_after_n_solutions=cfg.stop_after_n_solutions,
+                     node_limit=(cfg.stop_after_n_nodes
+                                 if cfg.arch != "multi" else 0),
                      verbose=cfg.verbose >= 2, on_improve=on_improve)
     r.init_time = init_time
     if r.best_lb is not None:

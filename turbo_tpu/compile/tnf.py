@@ -180,6 +180,31 @@ class Builder:
                 if hint is not None:
                     self.union(hint, c)
                 return c
+        # Algebraic identities (the cheap core of the reference
+        # Simplifier's algebraic_simplify pass): fold to an alias
+        # instead of emitting a propagator.
+        zc = self.lb[z] == self.ub[z]
+        yc = self.lb[y] == self.ub[y]
+        if op == OP_ADD and zc and self.lb[z] == 0:
+            return self._alias_result(y, hint)
+        if op == OP_ADD and yc and self.lb[y] == 0:
+            return self._alias_result(z, hint)
+        if op == OP_MUL and zc and self.lb[z] == 1:
+            return self._alias_result(y, hint)
+        if op == OP_MUL and yc and self.lb[y] == 1:
+            return self._alias_result(z, hint)
+        if op in (OP_MIN, OP_MAX) and y == z:
+            return self._alias_result(y, hint)
+        if op == OP_EQ and y == z:
+            c = self.const(1)
+            if hint is not None:
+                self.union(hint, c)
+            return c
+        if op == OP_LE and y == z:
+            c = self.const(1)
+            if hint is not None:
+                self.union(hint, c)
+            return c
         key = (op, y, z)
         x = self.memo.get(key)
         if x is not None:
@@ -198,6 +223,12 @@ class Builder:
         self.memo[key] = x
         self.add_prop(op, x, y, z)
         return x
+
+    def _alias_result(self, v: int, hint: Optional[int]) -> int:
+        v = self.find(v)
+        if hint is not None:
+            return self.union(hint, v)
+        return v
 
     def le(self, y: int, z: int, hint: Optional[int] = None) -> int:
         return self.fn(OP_LE, y, z, hint)

@@ -88,7 +88,8 @@ class ShardedSolver:
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 32,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
-              verbose: bool = False, on_improve=None) -> EngineResult:
+              node_limit: int = 0, verbose: bool = False,
+              on_improve=None) -> EngineResult:
         t0 = time.monotonic()
         if self.plan.root_unsat:
             return EngineResult.unsat(self)
@@ -115,6 +116,9 @@ class ShardedSolver:
                 stopped = True
                 break
             if time.monotonic() - t0 > timeout_s or steps >= max_steps:
+                stopped = True
+                break
+            if node_limit and int(jax.device_get(st.nodes.sum())) >= node_limit:
                 stopped = True
                 break
         # EngineResult reduction works on the concatenated global state.

@@ -499,7 +499,7 @@ class BatchedSolver:
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 32,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
-              verbose: bool = False, on_improve=None):
+              node_limit: int = 0, verbose: bool = False, on_improve=None):
         """Single-device host loop. Returns an EngineResult.
 
         on_improve(best_lb_tnf_ids): called whenever the global
@@ -532,6 +532,9 @@ class BatchedSolver:
                 stopped = True
                 break
             if time.monotonic() - t0 > timeout_s or steps >= max_steps:
+                stopped = True
+                break
+            if node_limit and int(jax.device_get(st.nodes.sum())) >= node_limit:
                 stopped = True
                 break
             if verbose:
