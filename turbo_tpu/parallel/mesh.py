@@ -97,6 +97,8 @@ class ShardedSolver:
         step_n = self.make_step_n(chunk)
         steps = 0
         stopped = False
+        best_seen = None
+        best_obj_time = 0.0
         while True:
             st = step_n(st)
             steps += chunk
@@ -110,6 +112,10 @@ class ShardedSolver:
                     bbs, blb = jax.device_get((st.best_bound, st.best_lb))
                     d = int(np.argmin(bbs))
                     on_improve(blb[d][self.plan.perm])
+            bbm = int(jax.device_get(st.best_bound.min()))
+            if bbm < (best_seen if best_seen is not None else 1 << 40):
+                best_seen = bbm
+                best_obj_time = time.monotonic() - t0
             if (phase == IDLE).all():
                 break
             if not self.opt and sols.sum() >= stop_after_n_solutions > 0:
@@ -122,8 +128,10 @@ class ShardedSolver:
                 stopped = True
                 break
         # EngineResult reduction works on the concatenated global state.
-        return EngineResult.from_state(self, st, stopped,
+        res = EngineResult.from_state(self, st, stopped,
                                        time.monotonic() - t0)
+        res.best_obj_time = best_obj_time
+        return res
 
     # Attributes EngineResult reads.
     @property

@@ -513,6 +513,8 @@ class BatchedSolver:
         step_n = self.make_step_n(chunk)
         steps = 0
         stopped = False
+        best_seen = None
+        best_obj_time = 0.0
         last_best = INF + 1
         while True:
             st = step_n(st)
@@ -526,6 +528,10 @@ class BatchedSolver:
                     import numpy as _np
                     d = int(_np.argmin(bbs))
                     on_improve(blb[d][self.plan.perm])
+            bbm = int(jax.device_get(st.best_bound.min()))
+            if bbm < (best_seen if best_seen is not None else 1 << 40):
+                best_seen = bbm
+                best_obj_time = time.monotonic() - t0
             if (phase == IDLE).all():
                 break
             if not self.opt and sols.sum() >= stop_after_n_solutions > 0:
@@ -541,5 +547,7 @@ class BatchedSolver:
                 bb = int(jax.device_get(st.best_bound.min()))
                 print(f"% steps={steps} best={bb if bb < INF else None} "
                       f"idle={(phase == IDLE).sum()}/{len(phase)}")
-        return EngineResult.from_state(self, st, stopped,
+        res = EngineResult.from_state(self, st, stopped,
                                        time.monotonic() - t0)
+        res.best_obj_time = best_obj_time
+        return res

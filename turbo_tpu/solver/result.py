@@ -33,6 +33,8 @@ class EngineResult:
     eps_skipped_subproblems: int = 0
     exhaustive: bool = True
     solve_time: float = 0.0
+    best_obj_time: float = 0.0
+    init_time: float = 0.0
 
     @classmethod
     def unsat(cls, solver):

@@ -86,6 +86,7 @@ def print_mzn_statistics(stats: MznStats, r, config=None):
     stats.stat("eps_skipped_subproblems", r.eps_skipped_subproblems)
     stats.stat("fixpoint_iterations", r.fixpoint_iterations)
     stats.stat("num_deductions", int(r.num_deductions))
+    stats.stat("best_obj_time", round(getattr(r, "best_obj_time", 0.0), 3))
     if r.objective is not None:
         stats.stat("objective", r.objective)
     stats.end()
