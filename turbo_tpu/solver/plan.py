@@ -130,15 +130,15 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
                 np.add.at(deg, ids, 1)
     active = ~singleton
 
-    # Fine-grained K ladder: most TNF aux vars have degree 1-3, so
-    # dedicated small buckets cut combine padding substantially.
-    Ks = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48]
-    k = 64
+    # Power-of-two K ladder from 2: balances combine padding against
+    # the number of bucket gather ops (each distinct gather costs real
+    # compile time on this TPU toolchain).
+    Ks = [2]
+    k = 4
     while k < max_bucket_k:
         Ks.append(k)
         k *= 2
     Ks.append(max_bucket_k)
-    Ks = sorted(set(k for k in Ks if k <= max_bucket_k))
 
     def bucket_k(d):
         for K in Ks:
