@@ -64,7 +64,8 @@ def run(cfg: Configuration) -> int:
         best = r.best_lb
         if best is not None and printer is None:
             print_solution(tnf, best)
-        print_final_separator(r.status, tnf.obj_var >= 0)
+        print_final_separator(r.status, tnf.obj_var >= 0,
+                              exhaustive=r.stats.exhaustive)
         if cfg.print_statistics:
             stats.stat("nodes", stats_obj.nodes)
             stats.stat("failures", stats_obj.fails)
@@ -106,7 +107,8 @@ def run(cfg: Configuration) -> int:
     r.init_time = init_time
     if r.best_lb is not None:
         print_solution(tnf, r.best_lb)
-    print_final_separator(r.status, tnf.obj_var >= 0)
+    print_final_separator(r.status, tnf.obj_var >= 0,
+                          exhaustive=r.exhaustive)
     print_mzn_statistics(stats, r)
     return 0
 

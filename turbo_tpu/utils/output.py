@@ -40,15 +40,15 @@ def print_solution(tnf: Tnf, best_lb: np.ndarray, file=None):
     f.flush()
 
 
-def print_final_separator(status: str, is_opt: bool, file=None):
-    """`==========` etc. (statistics.hpp:394-412)."""
+def print_final_separator(status: str, is_opt: bool, exhaustive: bool = False,
+                          file=None):
+    """`==========` etc. (statistics.hpp:394-412): `==========` when
+    solutions exist and the search was exhaustive."""
     f = file or sys.stdout
-    if status == "optimal":
+    if status == "optimal" or (status == "sat" and exhaustive):
         f.write("==========\n")
     elif status == "unsat":
         f.write("=====UNSATISFIABLE=====\n")
-    elif status == "unknown" and is_opt:
-        f.write("=====UNKNOWN=====\n")
     elif status == "unknown":
         f.write("=====UNKNOWN=====\n")
     f.flush()
