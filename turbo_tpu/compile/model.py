@@ -238,6 +238,24 @@ def _finalize(ctx: _Ctx, obj_var, orig_obj_var, is_max, strategies, outputs,
         fouts.append(OutputItem(o.name, o.is_array, o.is_bool,
                                 [int(remap[b.find(e)]) for e in o.elems], o.dims))
 
+    from .tnf import ElementCon, MemberCon
+    elements = []
+    eseen = set()
+    for idx, res, values in b.elements:
+        e = ElementCon(int(remap[b.find(idx)]), int(remap[b.find(res)]), values)
+        k = (e.idx, e.res, values)
+        if k not in eseen:
+            eseen.add(k)
+            elements.append(e)
+    members = []
+    mseen = set()
+    for x, bb, values in b.members:
+        mcon = MemberCon(int(remap[b.find(x)]), int(remap[b.find(bb)]), values)
+        k = (mcon.x, mcon.b, values)
+        if k not in mseen:
+            mseen.add(k)
+            members.append(mcon)
+
     return Tnf(
         lb0=lb0, ub0=ub0, ops=ops, xs=xs, ys=ys, zs=zs,
         obj_var=int(remap[b.find(obj_var)]) if obj_var >= 0 else -1,
@@ -249,6 +267,8 @@ def _finalize(ctx: _Ctx, obj_var, orig_obj_var, is_max, strategies, outputs,
         root_unsat=b.root_unsat,
         n_parsed_vars=n_parsed_vars,
         n_parsed_cons=n_parsed_cons,
+        elements=elements,
+        members=members,
     )
 
 
@@ -468,6 +488,8 @@ def _c_bool_clause_reif(ctx, args):
 
 def _element(ctx: _Ctx, idx, arr_vals_vars: List[int], res: int, const_vals=None):
     b = ctx.b
+    if const_vals is not None and b.element(idx, res, const_vals):
+        return  # native vectorized element propagator
     n = len(arr_vals_vars) if const_vals is None else len(const_vals)
     b.meet_dom(idx, 1, n)
     if const_vals is not None:

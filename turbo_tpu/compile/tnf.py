@@ -66,6 +66,28 @@ class OutputItem:
 
 
 @dataclasses.dataclass
+class ElementCon:
+    """Native element constraint: values[idx - 1] == res (1-based idx).
+
+    The reference receives array_int_element pre-decomposed only at the
+    FlatZinc level and ternarizes it into eq/le chains; a dedicated
+    vectorized propagator is both stronger (bounds-consistent on idx
+    and res directly) and far cheaper on TPU (dense windowed reductions
+    instead of thousands of reified propagators)."""
+    idx: int
+    res: int
+    values: tuple
+
+
+@dataclasses.dataclass
+class MemberCon:
+    """Native reified sparse membership: b = (x in values)."""
+    x: int
+    b: int
+    values: tuple
+
+
+@dataclasses.dataclass
 class Tnf:
     """Finalized ternary constraint network."""
     lb0: np.ndarray          # (V,) int64 root lower bounds
@@ -83,6 +105,8 @@ class Tnf:
     root_unsat: bool
     n_parsed_vars: int = 0
     n_parsed_cons: int = 0
+    elements: List[ElementCon] = dataclasses.field(default_factory=list)
+    members: List[MemberCon] = dataclasses.field(default_factory=list)
 
     @property
     def num_vars(self) -> int:
@@ -105,6 +129,8 @@ class Builder:
         self.props: List[Tuple[int, int, int, int]] = []
         self.const_ids: Dict[int, int] = {}
         self.memo: Dict[Tuple[int, int, int], int] = {}
+        self.elements: List[Tuple[int, int, tuple]] = []
+        self.members: List[Tuple[int, int, tuple]] = []
         self.root_unsat = False
 
     # ---- variables -------------------------------------------------
@@ -316,8 +342,16 @@ class Builder:
             return self.union(hint, layer[0])
         return layer[0]
 
+    MAX_MEMBER_WIDTH = 4096
+
     def in_set(self, x: int, values: Sequence[int], hint=None) -> int:
-        """Reified sparse membership: r = (x in values)."""
+        """Reified sparse membership: r = (x in values).
+
+        Sparse sets with a modest hull width become native MemberCon
+        propagators (vectorized value-table kernels); contiguous ranges
+        stay two LE comparisons; pathological widths fall back to the
+        reference-style eq/max decomposition."""
+        x = self.find(x)
         values = sorted(set(int(v) for v in values))
         lo, hi = self.dom(x)
         values = [v for v in values if lo <= v <= hi]
@@ -331,4 +365,31 @@ class Builder:
             b1 = self.le(self.const(values[0]), x)
             b2 = self.le(x, self.const(values[-1]))
             return self.fn(OP_MIN, b1, b2, hint)
+        if values[-1] - values[0] + 1 <= self.MAX_MEMBER_WIDTH:
+            key = ("member", x, tuple(values))
+            b = self.memo.get(key)
+            if b is not None:
+                b = self.find(b)
+                if hint is not None:
+                    b = self.union(hint, b)
+                    self.memo[key] = b
+                return b
+            b = self.find(hint) if hint is not None else self.new_var(0, 1)
+            self.meet_dom(b, 0, 1)
+            self.memo[key] = b
+            self.members.append((x, b, tuple(values)))
+            return b
         return self.max_tree([self.eq(x, self.const(v)) for v in values], hint)
+
+    MAX_ELEMENT_LEN = 2048
+
+    def element(self, idx: int, res: int, values: Sequence[int]) -> bool:
+        """Native element values[idx-1] == res; returns False if the
+        table is too large for the native kernel (caller decomposes)."""
+        values = [int(v) for v in values]
+        if len(values) > self.MAX_ELEMENT_LEN:
+            return False
+        self.meet_dom(idx, 1, len(values))
+        self.meet_dom(res, min(values), max(values))
+        self.elements.append((self.find(idx), self.find(res), tuple(values)))
+        return True

@@ -26,7 +26,8 @@ from . import deduce_np
 
 
 class PropTable:
-    """Propagators grouped by op for vectorized deduction."""
+    """Propagators grouped by op for vectorized deduction, plus native
+    element / membership constraint tables."""
 
     def __init__(self, tnf: Tnf):
         self.num_vars = tnf.num_vars
@@ -41,6 +42,153 @@ class PropTable:
             idx = np.nonzero(self.ops == op)[0]
             if len(idx):
                 self.groups.append((op, slice(idx[0], idx[-1] + 1)))
+        self._build_element_tables(tnf.elements)
+        self._build_member_tables(tnf.members)
+
+    def _build_element_tables(self, elements):
+        self.E = len(elements)
+        if not self.E:
+            return
+        T = max(len(e.values) for e in elements)
+        self.e_idx = np.array([e.idx for e in elements], dtype=np.int64)
+        self.e_res = np.array([e.res for e in elements], dtype=np.int64)
+        self.e_len = np.array([len(e.values) for e in elements], dtype=np.int64)
+        self.e_tab = np.zeros((self.E, T), dtype=np.int64)
+        for i, e in enumerate(elements):
+            self.e_tab[i, :len(e.values)] = e.values
+
+    def _build_member_tables(self, members):
+        self.M = len(members)
+        if not self.M:
+            return
+        self.m_x = np.array([m.x for m in members], dtype=np.int64)
+        self.m_b = np.array([m.b for m in members], dtype=np.int64)
+        self.m_base = np.array([min(m.values) for m in members], dtype=np.int64)
+        self.m_top = np.array([max(m.values) for m in members], dtype=np.int64)
+        W = int((self.m_top - self.m_base).max()) + 1
+        self.m_W = W
+        M = self.M
+        in_s = np.zeros((M, W), dtype=bool)
+        for i, m in enumerate(members):
+            for v in m.values:
+                in_s[i, v - self.m_base[i]] = True
+        self.m_in = in_s
+        # Prefix counts over the hull window.
+        self.m_cnt = np.zeros((M, W + 1), dtype=np.int64)
+        self.m_cnt[:, 1:] = np.cumsum(in_s, axis=1)
+        big = np.int64(1) << 40
+        # next member >= base+w (value), sentinel top+1.
+        self.m_next_ge = np.full((M, W), 0, dtype=np.int64)
+        self.m_prev_le = np.full((M, W), 0, dtype=np.int64)
+        self.m_next_out = np.full((M, W), 0, dtype=np.int64)
+        self.m_prev_out = np.full((M, W), 0, dtype=np.int64)
+        for i in range(M):
+            nxt = self.m_top[i] + 1
+            nxo = self.m_top[i] + 1
+            for w in range(W - 1, -1, -1):
+                v = self.m_base[i] + w
+                if in_s[i, w]:
+                    nxt = v
+                else:
+                    nxo = v
+                self.m_next_ge[i, w] = nxt
+                self.m_next_out[i, w] = nxo
+            prv = self.m_base[i] - 1
+            pvo = self.m_base[i] - 1
+            for w in range(W):
+                v = self.m_base[i] + w
+                if in_s[i, w]:
+                    prv = v
+                else:
+                    pvo = v
+                self.m_prev_le[i, w] = prv
+                self.m_prev_out[i, w] = pvo
+
+    # -- element deduction (numpy): see compile.tnf.ElementCon ---------
+
+    def _element_cands(self, lb, ub):
+        """Returns (idx_lo, idx_hi, res_lo, res_hi) candidate arrays."""
+        li = lb[self.e_idx]
+        ui = ub[self.e_idx]
+        lr = lb[self.e_res][:, None]
+        ur = ub[self.e_res][:, None]
+        T = self.e_tab.shape[1]
+        j = np.arange(T, dtype=np.int64)[None, :]
+        in_win = (j >= li[:, None] - 1) & (j <= ui[:, None] - 1) & \
+                 (j < self.e_len[:, None])
+        ok = in_win & (self.e_tab >= lr) & (self.e_tab <= ur)
+        any_ok = ok.any(axis=1)
+        first = np.argmax(ok, axis=1)
+        last = T - 1 - np.argmax(ok[:, ::-1], axis=1)
+        idx_lo = np.where(any_ok, first + 1, INF)
+        idx_hi = np.where(any_ok, last + 1, NINF)
+        tb = np.where(ok, self.e_tab, np.int64(INF))
+        res_lo = np.where(any_ok, tb.min(axis=1), INF)
+        tb = np.where(ok, self.e_tab, np.int64(NINF))
+        res_hi = np.where(any_ok, tb.max(axis=1), NINF)
+        return idx_lo, idx_hi, res_lo, res_hi
+
+    def _element_ask(self, lb, ub):
+        li = np.clip(lb[self.e_idx], 1, self.e_len)
+        ui = np.clip(ub[self.e_idx], 1, self.e_len)
+        lr, ur = lb[self.e_res], ub[self.e_res]
+        T = self.e_tab.shape[1]
+        j = np.arange(T, dtype=np.int64)[None, :]
+        in_win = (j >= li[:, None] - 1) & (j <= ui[:, None] - 1) & \
+                 (j < self.e_len[:, None])
+        tb_min = np.where(in_win, self.e_tab, np.int64(INF)).min(axis=1)
+        tb_max = np.where(in_win, self.e_tab, np.int64(NINF)).max(axis=1)
+        return (lr == ur) & (tb_min == lr) & (tb_max == lr)
+
+    # -- membership deduction -----------------------------------------
+
+    def _member_cands(self, lb, ub):
+        """Returns (x_lo, x_hi, b_lo, b_hi) candidate arrays."""
+        lx = lb[self.m_x]
+        ux = ub[self.m_x]
+        lbb = lb[self.m_b]
+        ubb = ub[self.m_b]
+        W = self.m_W
+        wl = np.clip(lx - self.m_base, 0, W)
+        wh = np.clip(ux - self.m_base + 1, 0, W)
+        rows = np.arange(self.M)
+        c = self.m_cnt[rows, wh] - self.m_cnt[rows, wl]
+        width = ux - lx + 1
+        b_lo = ((c == width) & (width > 0)).astype(np.int64)
+        b_hi = (c > 0).astype(np.int64)
+        # x pruning under b decided.
+        tt = lbb >= 1
+        ff = ubb <= 0
+        wl_i = np.clip(lx - self.m_base, 0, W - 1)
+        wh_i = np.clip(ux - self.m_base, 0, W - 1)
+        nge = np.where(lx > self.m_top, np.int64(INF),
+                       self.m_next_ge[rows, wl_i])
+        ple = np.where(ux < self.m_base, np.int64(NINF),
+                       self.m_prev_le[rows, wh_i])
+        # For b=0: shave bounds off S (values outside the hull are
+        # trivially not in S, so no shave there).
+        inhull_l = (lx >= self.m_base) & (lx <= self.m_top)
+        inhull_h = (ux >= self.m_base) & (ux <= self.m_top)
+        nout = np.where(inhull_l, self.m_next_out[rows, wl_i], lx)
+        pout = np.where(inhull_h, self.m_prev_out[rows, wh_i], ux)
+        x_lo = np.where(tt, nge, np.where(ff, nout, NINF))
+        x_hi = np.where(tt, ple, np.where(ff, pout, INF))
+        return (np.clip(x_lo, NINF, INF), np.clip(x_hi, NINF, INF),
+                b_lo, b_hi)
+
+    def _member_ask(self, lb, ub):
+        lx = lb[self.m_x]
+        ux = ub[self.m_x]
+        lbb = lb[self.m_b]
+        ubb = ub[self.m_b]
+        W = self.m_W
+        wl = np.clip(lx - self.m_base, 0, W)
+        wh = np.clip(ux - self.m_base + 1, 0, W)
+        rows = np.arange(self.M)
+        c = self.m_cnt[rows, wh] - self.m_cnt[rows, wl]
+        width = ux - lx + 1
+        return ((lbb >= 1) & (c == width) & (width > 0)) | \
+               ((ubb <= 0) & (c == 0))
 
     def propagate(self, lb: np.ndarray, ub: np.ndarray, max_iters: int = 100000):
         """AC-1 fixpoint in place. Returns (iterations, num_deductions, is_bot)."""
@@ -62,6 +210,26 @@ class PropTable:
                     if not changed:
                         if np.any(lb[ids] > old_l) or np.any(ub[ids] < old_u):
                             changed = True
+            if getattr(self, "E", 0):
+                il, ih, rl, rh = self._element_cands(lb, ub)
+                deds += self.E
+                for ids, cl, cu in ((self.e_idx, il, ih), (self.e_res, rl, rh)):
+                    old_l, old_u = lb[ids], ub[ids]
+                    np.maximum.at(lb, ids, cl)
+                    np.minimum.at(ub, ids, cu)
+                    if not changed and (np.any(lb[ids] > old_l)
+                                        or np.any(ub[ids] < old_u)):
+                        changed = True
+            if getattr(self, "M", 0):
+                xl, xh, bl, bh = self._member_cands(lb, ub)
+                deds += self.M
+                for ids, cl, cu in ((self.m_x, xl, xh), (self.m_b, bl, bh)):
+                    old_l, old_u = lb[ids], ub[ids]
+                    np.maximum.at(lb, ids, cl)
+                    np.minimum.at(ub, ids, cu)
+                    if not changed and (np.any(lb[ids] > old_l)
+                                        or np.any(ub[ids] < old_u)):
+                        changed = True
             if np.any(lb > ub):
                 return iters, deds, True
             if not changed:
@@ -74,6 +242,10 @@ class PropTable:
             ok = deduce_np.ask(op, lb[xs], ub[xs], lb[ys], ub[ys], lb[zs], ub[zs])
             if not ok.all():
                 return False
+        if getattr(self, "E", 0) and not self._element_ask(lb, ub).all():
+            return False
+        if getattr(self, "M", 0) and not self._member_ask(lb, ub).all():
+            return False
         return True
 
 

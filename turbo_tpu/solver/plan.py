@@ -80,6 +80,29 @@ class Plan:
     root_unsat: bool
     root_entailed: bool
     num_real_props: int = 0
+    # Native element constraints (padded): values[idx-1] == res.
+    e_idx: Optional[np.ndarray] = None   # (E,)
+    e_res: Optional[np.ndarray] = None   # (E,)
+    e_len: Optional[np.ndarray] = None   # (E,)
+    e_tab: Optional[np.ndarray] = None   # (E, T)
+    # Native membership constraints (padded): b = (x in S).
+    m_x: Optional[np.ndarray] = None     # (M,)
+    m_b: Optional[np.ndarray] = None
+    m_base: Optional[np.ndarray] = None
+    m_top: Optional[np.ndarray] = None
+    m_cnt: Optional[np.ndarray] = None   # (M, W+1)
+    m_next_ge: Optional[np.ndarray] = None  # (M, W)
+    m_prev_le: Optional[np.ndarray] = None
+    m_next_out: Optional[np.ndarray] = None
+    m_prev_out: Optional[np.ndarray] = None
+
+    @property
+    def E(self):
+        return 0 if self.e_idx is None else len(self.e_idx)
+
+    @property
+    def M(self):
+        return 0 if self.m_x is None else len(self.m_x)
 
     @property
     def shape_signature(self):
@@ -89,6 +112,8 @@ class Plan:
             tuple((op, len(xs)) for op, xs, _, _ in self.groups),
             tuple((b.start, b.count, b.cand_idx.shape[1]) for b in self.buckets),
             tuple(len(s.ids) for s in self.strategies),
+            (self.E, 0 if self.e_tab is None else self.e_tab.shape[1]),
+            (self.M, 0 if self.m_cnt is None else self.m_cnt.shape[1]),
         )
 
 
@@ -119,7 +144,16 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
         if keep.any():
             per_op[op].append((xs[keep], ys[keep], zs[keep]))
             num_real_props += int(keep.sum())
-    root_entailed = (num_real_props == 0)
+    keep_elems = list(tnf.elements)
+    keep_members = list(tnf.members)
+    if not root_unsat:
+        if keep_elems:
+            ask_e = table._element_ask(lb, ub)
+            keep_elems = [e for e, a in zip(keep_elems, ask_e) if not a]
+        if keep_members:
+            ask_m = table._member_ask(lb, ub)
+            keep_members = [m for m, a in zip(keep_members, ask_m) if not a]
+    root_entailed = (num_real_props == 0 and not keep_elems and not keep_members)
 
     # Degree of each variable over live props; root singletons excluded.
     singleton = lb == ub
@@ -128,6 +162,12 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
         for xs, ys, zs in per_op[op]:
             for ids in (xs, ys, zs):
                 np.add.at(deg, ids, 1)
+    for e in keep_elems:
+        deg[e.idx] += 1
+        deg[e.res] += 1
+    for m in keep_members:
+        deg[m.x] += 1
+        deg[m.b] += 1
     active = ~singleton
 
     # Power-of-two K ladder from 2: balances combine padding against
@@ -232,7 +272,9 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
         slot_of.append((gys[:n], 1 * P + base + idx))
         slot_of.append((gzs[:n], 2 * P + base + idx))
         base += padded
-    neutral = 3 * P
+    E = quantize(max(len(keep_elems), 1), min_gran=8)
+    M = quantize(max(len(keep_members), 1), min_gran=8)
+    neutral = 3 * P + 2 * E + 2 * M
 
     # Incidence lists per active permuted var (padding rows stay empty).
     inc: List[List[int]] = [[] for _ in range(n_active)]
@@ -240,6 +282,16 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
         for v, s in zip(vids.tolist(), slots.tolist()):
             if v < n_active:
                 inc[v].append(s)
+    for i, e in enumerate(keep_elems):
+        for v, s in ((perm[e.idx], 3 * P + i),
+                     (perm[e.res], 3 * P + E + i)):
+            if v < n_active:
+                inc[v].append(int(s))
+    for i, m in enumerate(keep_members):
+        for v, s in ((perm[m.x], 3 * P + 2 * E + i),
+                     (perm[m.b], 3 * P + 2 * E + M + i)):
+            if v < n_active:
+                inc[v].append(int(s))
 
     buckets: List[Bucket] = []
     for K, real, start, padded in bucket_ranges:
@@ -275,8 +327,74 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
     while len(strategies) & (len(strategies) - 1):
         strategies.append(strategies[-1])
 
+    # Element tables (padded with trivially-entailed dummy rows:
+    # idx=dummy1 [1,1], res=dummy [0,0], table [0,...]).
+    T = quantize(max([len(e.values) for e in keep_elems] + [1], default=1),
+                 min_gran=8) if keep_elems else 8
+    e_idx = np.full(E, dummy1, dtype=np.int32)
+    e_res = np.full(E, dummy, dtype=np.int32)
+    e_len = np.ones(E, dtype=np.int32)
+    e_tab = np.zeros((E, T), dtype=np.int32)
+    for i, e in enumerate(keep_elems):
+        e_idx[i] = perm[e.idx]
+        e_res[i] = perm[e.res]
+        e_len[i] = len(e.values)
+        e_tab[i, :len(e.values)] = e.values
+
+    # Member tables (dummy rows: x=dummy [0,0], b=dummy1 [1,1], S={0}).
+    W = 8
+    for m in keep_members:
+        W = max(W, max(m.values) - min(m.values) + 1)
+    W = quantize(W, min_gran=8)
+    m_x = np.full(M, dummy, dtype=np.int32)
+    m_b = np.full(M, dummy1, dtype=np.int32)
+    m_base = np.zeros(M, dtype=np.int32)
+    m_top = np.zeros(M, dtype=np.int32)
+    m_cnt = np.zeros((M, W + 1), dtype=np.int32)
+    m_cnt[:, 1:] = 1  # dummy S={0}: one member at offset 0
+    m_next_ge = np.zeros((M, W), dtype=np.int32)
+    m_prev_le = np.zeros((M, W), dtype=np.int32)
+    m_next_out = np.ones((M, W), dtype=np.int32)
+    m_prev_out = np.full((M, W), -1, dtype=np.int32)
+    for i, m in enumerate(keep_members):
+        base, top = min(m.values), max(m.values)
+        m_x[i] = perm[m.x]
+        m_b[i] = perm[m.b]
+        m_base[i] = base
+        m_top[i] = top
+        w = top - base + 1
+        ins = np.zeros(W, dtype=bool)
+        for v in m.values:
+            ins[v - base] = True
+        m_cnt[i, 0] = 0
+        m_cnt[i, 1:] = np.cumsum(ins)
+        nxt = top + 1
+        nxo = top + 1
+        for k2 in range(W - 1, -1, -1):
+            v = base + k2
+            if k2 < w and ins[k2]:
+                nxt = v
+            elif k2 < w:
+                nxo = v
+            m_next_ge[i, k2] = nxt
+            m_next_out[i, k2] = nxo
+        prv = base - 1
+        pvo = base - 1
+        for k2 in range(W):
+            v = base + k2
+            if k2 < w and ins[k2]:
+                prv = v
+            elif k2 < w:
+                pvo = v
+            m_prev_le[i, k2] = prv
+            m_prev_out[i, k2] = pvo
+
     return Plan(V=V, n_active=n_active, P=P, lb0=lb_p, ub0=ub_p,
                 groups=groups, buckets=buckets, obj=obj, is_opt=is_opt,
                 strategies=strategies, inv_perm=inv_perm, perm=perm,
                 root_unsat=root_unsat, root_entailed=root_entailed,
-                num_real_props=num_real_props)
+                num_real_props=num_real_props + len(keep_elems) + len(keep_members),
+                e_idx=e_idx, e_res=e_res, e_len=e_len, e_tab=e_tab,
+                m_x=m_x, m_b=m_b, m_base=m_base, m_top=m_top, m_cnt=m_cnt,
+                m_next_ge=m_next_ge, m_prev_le=m_prev_le,
+                m_next_out=m_next_out, m_prev_out=m_prev_out)

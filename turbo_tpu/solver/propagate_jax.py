@@ -196,6 +196,115 @@ class PropagatorKernels:
         for op, xs, _, _ in plan.groups:
             self.group_slices.append((op, base, base + len(xs)))
             base += len(xs)
+        # Native element / membership tables (see plan.py).
+        self.E = plan.E
+        self.M = plan.M
+        if self.E:
+            self.e_idx = jnp.asarray(plan.e_idx)
+            self.e_res = jnp.asarray(plan.e_res)
+            self.e_len = jnp.asarray(plan.e_len)
+            self.e_tab = jnp.asarray(plan.e_tab)
+        if self.M:
+            self.m_x = jnp.asarray(plan.m_x)
+            self.m_b = jnp.asarray(plan.m_b)
+            self.m_base = jnp.asarray(plan.m_base)
+            self.m_top = jnp.asarray(plan.m_top)
+            self.m_cnt = jnp.asarray(plan.m_cnt)
+            self.m_next_ge = jnp.asarray(plan.m_next_ge)
+            self.m_prev_le = jnp.asarray(plan.m_prev_le)
+            self.m_next_out = jnp.asarray(plan.m_next_out)
+            self.m_prev_out = jnp.asarray(plan.m_prev_out)
+
+    # -- native global constraints ------------------------------------
+
+    def _element_cands(self, lb, ub):
+        """JAX mirror of oracle._element_cands. Returns 4 (D, E) arrays:
+        (idx_lo, idx_hi, res_lo, res_hi)."""
+        li = lb[:, self.e_idx]                      # (D, E)
+        ui = ub[:, self.e_idx]
+        lr = lb[:, self.e_res][:, :, None]
+        ur = ub[:, self.e_res][:, :, None]
+        T = self.e_tab.shape[1]
+        j = jax.lax.broadcasted_iota(I32, (1, 1, T), 2)
+        tab = self.e_tab[None, :, :]
+        in_win = (j >= li[:, :, None] - 1) & (j <= ui[:, :, None] - 1) & \
+                 (j < self.e_len[None, :, None])
+        ok = in_win & (tab >= lr) & (tab <= ur)
+        any_ok = ok.any(axis=2)
+        first = jnp.argmax(ok, axis=2).astype(I32)
+        last = (T - 1 - jnp.argmax(ok[:, :, ::-1], axis=2)).astype(I32)
+        idx_lo = jnp.where(any_ok, first + 1, INF)
+        idx_hi = jnp.where(any_ok, last + 1, NINF)
+        res_lo = jnp.where(any_ok,
+                           jnp.where(ok, tab, INF).min(axis=2), INF)
+        res_hi = jnp.where(any_ok,
+                           jnp.where(ok, tab, NINF).max(axis=2), NINF)
+        return idx_lo, idx_hi, res_lo, res_hi
+
+    def _element_ask(self, lb, ub):
+        li = jnp.clip(lb[:, self.e_idx], 1, self.e_len[None, :])
+        ui = jnp.clip(ub[:, self.e_idx], 1, self.e_len[None, :])
+        lr = lb[:, self.e_res]
+        ur = ub[:, self.e_res]
+        T = self.e_tab.shape[1]
+        j = jax.lax.broadcasted_iota(I32, (1, 1, T), 2)
+        tab = self.e_tab[None, :, :]
+        in_win = (j >= li[:, :, None] - 1) & (j <= ui[:, :, None] - 1) & \
+                 (j < self.e_len[None, :, None])
+        tmin = jnp.where(in_win, tab, INF).min(axis=2)
+        tmax = jnp.where(in_win, tab, NINF).max(axis=2)
+        return (lr == ur) & (tmin == lr) & (tmax == lr)
+
+    def _member_window(self, lb, ub):
+        lx = lb[:, self.m_x]
+        ux = ub[:, self.m_x]
+        W = self.m_cnt.shape[1] - 1
+        wl = jnp.clip(lx - self.m_base[None, :], 0, W)
+        wh = jnp.clip(ux - self.m_base[None, :] + 1, 0, W)
+        cnt = jnp.broadcast_to(self.m_cnt[None, :, :],
+                               (lb.shape[0],) + self.m_cnt.shape)
+        chi = jnp.take_along_axis(cnt, wh[:, :, None], axis=2)[:, :, 0]
+        clo = jnp.take_along_axis(cnt, wl[:, :, None], axis=2)[:, :, 0]
+        c = chi - clo
+        width = ux.astype(I64) - lx.astype(I64) + 1
+        return lx, ux, c, width, W
+
+    def _member_cands(self, lb, ub):
+        """Returns (x_lo, x_hi, b_lo, b_hi) as (D, M) arrays."""
+        lx, ux, c, width, W = self._member_window(lb, ub)
+        lbb = lb[:, self.m_b]
+        ubb = ub[:, self.m_b]
+        b_lo = ((c.astype(I64) == width) & (width > 0)).astype(I32)
+        b_hi = (c > 0).astype(I32)
+        D = lb.shape[0]
+        wl_i = jnp.clip(lx - self.m_base[None, :], 0, W - 1)[:, :, None]
+        wh_i = jnp.clip(ux - self.m_base[None, :], 0, W - 1)[:, :, None]
+
+        def row_take(tabl, idx3):
+            t = jnp.broadcast_to(tabl[None, :, :], (D,) + tabl.shape)
+            return jnp.take_along_axis(t, idx3, axis=2)[:, :, 0]
+
+        nge = jnp.where(lx > self.m_top[None, :], INF,
+                        row_take(self.m_next_ge, wl_i))
+        ple = jnp.where(ux < self.m_base[None, :], NINF,
+                        row_take(self.m_prev_le, wh_i))
+        inhull_l = (lx >= self.m_base[None, :]) & (lx <= self.m_top[None, :])
+        inhull_h = (ux >= self.m_base[None, :]) & (ux <= self.m_top[None, :])
+        nout = jnp.where(inhull_l, row_take(self.m_next_out, wl_i), lx)
+        pout = jnp.where(inhull_h, row_take(self.m_prev_out, wh_i), ux)
+        tt = lbb >= 1
+        ff = ubb <= 0
+        x_lo = jnp.where(tt, nge, jnp.where(ff, nout, NINF))
+        x_hi = jnp.where(tt, ple, jnp.where(ff, pout, INF))
+        return (jnp.clip(x_lo, NINF, INF).astype(I32),
+                jnp.clip(x_hi, NINF, INF).astype(I32), b_lo, b_hi)
+
+    def _member_ask(self, lb, ub):
+        lx, ux, c, width, W = self._member_window(lb, ub)
+        lbb = lb[:, self.m_b]
+        ubb = ub[:, self.m_b]
+        return ((lbb >= 1) & (c.astype(I64) == width) & (width > 0)) | \
+               ((ubb <= 0) & (c == 0))
 
     # -- one AC-1 iteration ------------------------------------------
 
@@ -219,10 +328,23 @@ class PropagatorKernels:
                 LZ[:, a:b], UZ[:, a:b])
             xls.append(cxl); yls.append(cyl); zls.append(czl)
             xus.append(cxu); yus.append(cyu); zus.append(czu)
+        # Native element / membership candidate slots follow the 3P TNF
+        # role slots: [3P | E idx | E res | M x | M b | neutral].
+        extra_l, extra_u = [], []
+        if self.E:
+            il, ih, rl, rh = self._element_cands(lb, ub)
+            extra_l += [il.astype(I32), rl.astype(I32)]
+            extra_u += [ih.astype(I32), rh.astype(I32)]
+        if self.M:
+            xl, xh, bl, bh = self._member_cands(lb, ub)
+            extra_l += [xl, bl]
+            extra_u += [xh, bh]
         cand_l = jnp.concatenate(
-            xls + yls + zls + [jnp.full((D, 1), NINF, dtype=I32)], axis=1)
+            xls + yls + zls + extra_l +
+            [jnp.full((D, 1), NINF, dtype=I32)], axis=1)
         cand_u = jnp.concatenate(
-            xus + yus + zus + [jnp.full((D, 1), INF, dtype=I32)], axis=1)
+            xus + yus + zus + extra_u +
+            [jnp.full((D, 1), INF, dtype=I32)], axis=1)
 
         new_l_parts, new_u_parts = [], []
         for start, count, idx in self.buckets:
@@ -291,6 +413,10 @@ class PropagatorKernels:
             ok = _ask_group(op, LX[:, a:b], UX[:, a:b], LY[:, a:b],
                             UY[:, a:b], LZ[:, a:b], UZ[:, a:b])
             out = out & ok.all(axis=1)
+        if self.E:
+            out = out & self._element_ask(lb, ub).all(axis=1)
+        if self.M:
+            out = out & self._member_ask(lb, ub).all(axis=1)
         return out
 
     def is_bot(self, lb, ub):
