@@ -27,6 +27,7 @@ INSTANCE = os.environ.get(
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "60"))
 DIVES = int(os.environ.get("BENCH_DIVES", "64"))
+FP_CAP = int(os.environ.get("BENCH_FP_CAP", "16"))
 
 
 def log(msg):
@@ -49,7 +50,8 @@ def main():
 
     solver = BatchedSolver(tnf, EngineConfig(num_dives=DIVES,
                                              subproblems_power=14,
-                                             max_depth=256))
+                                             max_depth=256,
+                                             fp_max_iters=FP_CAP))
     st = solver.init_state()
     step_n = solver.make_step_n(16)
     t0 = time.monotonic()
