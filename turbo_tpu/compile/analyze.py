@@ -42,10 +42,20 @@ def analyze_formula(model: Model) -> Dict:
 def analyze_tcn(tnf: Tnf, prefix: str = "tcn") -> Dict:
     """Post-ternarization stats over the TNF bytecode network."""
     ops = Counter(OP_NAMES[o] for o in tnf.ops)
+    if tnf.elements:
+        ops["element"] = len(tnf.elements)
+    if tnf.members:
+        ops["member"] = len(tnf.members)
     deg = np.zeros(tnf.num_vars, dtype=np.int64)
     for ids in (tnf.xs, tnf.ys, tnf.zs):
         if len(ids):
             np.add.at(deg, ids, 1)
+    for e in tnf.elements:
+        deg[e.idx] += 1
+        deg[e.res] += 1
+    for m in tnf.members:
+        deg[m.x] += 1
+        deg[m.b] += 1
     deg_hist = Counter(int(d) for d in deg if d > 0)
     sizes = np.minimum(tnf.ub0 - tnf.lb0 + 1, 1 << 20)
     size_hist = Counter()
@@ -62,7 +72,7 @@ def analyze_tcn(tnf: Tnf, prefix: str = "tcn") -> Dict:
             size_hist[">64"] += 1
     return {
         f"{prefix}_variables": tnf.num_vars,
-        f"{prefix}_constraints": tnf.num_props,
+        f"{prefix}_constraints": tnf.num_props + len(tnf.elements) + len(tnf.members),
         f"{prefix}_histogram_symbols": dict(ops),
         f"{prefix}_histogram_vars_degree": dict(sorted(deg_hist.items())),
         f"{prefix}_histogram_domain_sizes": dict(size_hist),

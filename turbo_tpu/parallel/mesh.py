@@ -86,7 +86,7 @@ class ShardedSolver:
                 (self.init_state(),), program_key, verbose=True)
         return self._step_n_cache[n]
 
-    def solve(self, timeout_s: float = 1e18, chunk: int = 32,
+    def solve(self, timeout_s: float = 1e18, chunk: int = 16,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
               node_limit: int = 0, verbose: bool = False,
               on_improve=None) -> EngineResult:
