@@ -513,12 +513,18 @@ class BatchedSolver:
         step_n = self.make_step_n(chunk)
         steps = 0
         stopped = False
+        first_call = True
         best_seen = None
         best_obj_time = 0.0
         last_best = INF + 1
         while True:
             st = step_n(st)
             steps += chunk
+            if first_call:
+                # Exclude one-time XLA compile/load from the solve budget
+                # (the reference's initTime/solveTime split).
+                first_call = False
+                t0 = time.monotonic()
             phase, sols = jax.device_get((st.phase, st.sols))
             if on_improve is not None:
                 bb = int(jax.device_get(st.best_bound.min()))
