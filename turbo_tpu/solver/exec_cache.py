@@ -73,7 +73,16 @@ def cached_compile(jitted: Callable, example_args: tuple,
     if backend in (None, "cpu"):
         return jitted  # CPU compiles are fast; don't churn the disk.
 
-    key = cache_key(program_key)
+    # Key on the lowered program itself (plus backend): stable across
+    # source edits that don't change the compiled computation.
+    try:
+        lowered = jitted.lower(*example_args)
+        hlo = lowered.as_text()
+        key = hashlib.sha256(
+            (jax.__version__ + _backend_key() + hlo).encode()).hexdigest()[:32]
+    except Exception:
+        lowered = None
+        key = cache_key(program_key)
     path = os.path.join(CACHE_DIR, f"{key}.pkl")
     from jax.experimental import serialize_executable as se
 
@@ -89,7 +98,9 @@ def cached_compile(jitted: Callable, example_args: tuple,
                 print(f"% executable cache load failed ({e}); recompiling",
                       file=sys.stderr)
     try:
-        compiled = jitted.lower(*example_args).compile()
+        if lowered is None:
+            lowered = jitted.lower(*example_args)
+        compiled = lowered.compile()
         try:
             os.makedirs(CACHE_DIR, exist_ok=True)
             payload = se.serialize(compiled)
