@@ -65,6 +65,13 @@ def main():
                     s = BatchedSolver(tnf, cfgc)
                 r = s.solve(timeout_s=args.timeout)
             dt = time.time() - t0
+            if r.status in ("optimal", "sat") and                     getattr(r, "best_lb", None) is not None:
+                from turbo_tpu.utils.checker import check_solution
+                bad = check_solution(model, tnf, r.best_lb)
+                if bad:
+                    failures += 1
+                    print(f"FAIL {name:34s} invalid solution: {bad[:2]}")
+                    continue
             if r.status == "optimal" and r.objective == exp:
                 print(f"OK   {name:34s} obj={r.objective} t={dt:.1f}s")
             elif r.status in ("sat", "unknown"):

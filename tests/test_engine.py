@@ -187,3 +187,19 @@ def test_unsat_detected():
                                         max_depth=16))
     r = s.solve(timeout_s=60, chunk=8)
     assert r.status == "unsat"
+
+
+def test_solutions_pass_independent_checker(bench_dir):
+    """Engine solutions must satisfy the ORIGINAL FlatZinc constraints
+    (independent evaluator, no propagator code involved)."""
+    from turbo_tpu.utils.checker import check_solution
+
+    for name in ["sudoku_opt4", "bug1", "reified_in"]:
+        m = parse_fzn(str(bench_dir / "test_data" / f"{name}.fzn"))
+        tnf = compile_model(m)
+        s = BatchedSolver(tnf, EngineConfig(num_dives=8, subproblems_power=5,
+                                            max_depth=64))
+        r = s.solve(timeout_s=120, chunk=16)
+        assert r.best_lb is not None
+        bad = check_solution(m, tnf, r.best_lb)
+        assert not bad, (name, bad[:5])

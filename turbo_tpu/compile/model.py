@@ -190,8 +190,10 @@ def compile_model(model: Model) -> Tnf:
             elems = [ctx.term(e) for e in ad.elems]
             outputs.append(OutputItem(ad.name, True, ad.is_bool, elems, ad.output_dims))
 
-    return _finalize(ctx, obj_var, orig_obj_var, is_max, strategies, outputs,
-                     n_parsed_vars=len(model.vars), n_parsed_cons=len(model.constraints))
+    tnf = _finalize(ctx, obj_var, orig_obj_var, is_max, strategies, outputs,
+                     n_parsed_vars=len(model.vars),
+                     n_parsed_cons=len(model.constraints))
+    return tnf
 
 
 def _finalize(ctx: _Ctx, obj_var, orig_obj_var, is_max, strategies, outputs,
@@ -269,6 +271,8 @@ def _finalize(ctx: _Ctx, obj_var, orig_obj_var, is_max, strategies, outputs,
         n_parsed_cons=n_parsed_cons,
         elements=elements,
         members=members,
+        var_map={name: int(remap[b.find(vid)])
+                 for name, vid in ctx.var_ids.items()},
     )
 
 

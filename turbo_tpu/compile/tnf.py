@@ -107,6 +107,8 @@ class Tnf:
     n_parsed_cons: int = 0
     elements: List[ElementCon] = dataclasses.field(default_factory=list)
     members: List[MemberCon] = dataclasses.field(default_factory=list)
+    # Declared-name -> finalized variable id (through the union-find).
+    var_map: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     @property
     def num_vars(self) -> int:
