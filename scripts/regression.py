@@ -57,7 +57,8 @@ def main():
                 r = solve(tnf, timeout_s=args.timeout)
             else:
                 from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
-                cfgc = EngineConfig(num_dives=args.or_nodes, max_depth=512)
+                cfgc = EngineConfig(num_dives=args.or_nodes, max_depth=256,
+                                    fp_max_iters=16)
                 if args.arch == "multi":
                     from turbo_tpu.parallel.mesh import ShardedSolver
                     s = ShardedSolver(tnf, cfgc)
