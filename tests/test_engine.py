@@ -203,3 +203,74 @@ def test_solutions_pass_independent_checker(bench_dir):
         assert r.best_lb is not None
         bad = check_solution(m, tnf, r.best_lb)
         assert not bad, (name, bad[:5])
+
+
+def test_jax_element_member_kernels_match_numpy():
+    """Element/membership device kernels vs numpy oracle rules on
+    randomly narrowed stores."""
+    text = """
+    array [1..6] of int: t = [4, 9, 2, 9, 7, 5];
+    var 1..6: i :: output_var;
+    var {2,4,7,9}: r :: output_var;
+    var 1..6: j :: output_var;
+    constraint array_int_element(i, t, r);
+    constraint int_ne(i, j);
+    solve minimize r;
+    """
+    tnf = compile_model(parse_fzn_text(text))
+    assert len(tnf.elements) == 1 and len(tnf.members) >= 1
+    plan = build_plan(tnf)
+    kernels = PropagatorKernels(plan)
+    table = PropTable(tnf)
+    rng = np.random.default_rng(11)
+    D = 8
+    Vr = tnf.num_vars
+    lbs, ubs = [], []
+    for d in range(D):
+        lb = tnf.lb0.copy()
+        ub = tnf.ub0.copy()
+        for v in rng.choice(Vr, size=3, replace=False):
+            if lb[v] < ub[v]:
+                lo = rng.integers(lb[v], ub[v] + 1)
+                hi = rng.integers(lo, ub[v] + 1)
+                lb[v], ub[v] = lo, hi
+        lbs.append(lb)
+        ubs.append(ub)
+    np_res = []
+    for lb, ub in zip(lbs, ubs):
+        l, u = lb.copy(), ub.copy()
+        table.propagate(l, u)
+        np_res.append((l, u))
+    lbp = np.stack([plan.lb0.copy() for _ in range(D)])
+    ubp = np.stack([plan.ub0.copy() for _ in range(D)])
+    for d in range(D):
+        lbp[d, plan.perm] = lbs[d]
+        ubp[d, plan.perm] = ubs[d]
+    jl, ju, _ = jax.jit(kernels.fixpoint)(jnp.asarray(lbp, jnp.int32),
+                                          jnp.asarray(ubp, jnp.int32))
+    jl, ju = np.asarray(jl), np.asarray(ju)
+    for d in range(D):
+        nl, nu = np_res[d]
+        bot_np = (nl > nu).any()
+        bot_jx = (jl[d] > ju[d]).any()
+        assert bot_np == bot_jx, f"dive {d}"
+        if not bot_np:
+            np.testing.assert_array_equal(jl[d][plan.perm], nl)
+            np.testing.assert_array_equal(ju[d][plan.perm], nu)
+
+
+def test_element_engine_end_to_end():
+    text = """
+    array [1..5] of int: t = [3, 1, 4, 1, 5];
+    var 1..5: i :: output_var;
+    var 1..5: r :: output_var;
+    constraint array_int_element(i, t, r);
+    constraint int_le(2, i);
+    solve minimize r;
+    """
+    tnf = compile_model(parse_fzn_text(text))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=3,
+                                        max_depth=16))
+    r = s.solve(timeout_s=60, chunk=8)
+    assert r.status == "optimal"
+    assert r.objective == 1  # t[2] = 1 reachable with i >= 2
