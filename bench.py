@@ -26,7 +26,7 @@ INSTANCE = os.environ.get(
     "/root/reference/benchmarks/example_wordpress7_500.fzn")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "60"))
-DIVES = int(os.environ.get("BENCH_DIVES", "64"))
+DIVES = int(os.environ.get("BENCH_DIVES", "256"))
 FP_CAP = int(os.environ.get("BENCH_FP_CAP", "16"))
 
 
@@ -93,7 +93,7 @@ def main():
         except Exception:
             pass
     print(json.dumps({
-        "metric": "wordpress7_500 nodes/s (64 dives, 1 chip)",
+        "metric": f"wordpress7_500 nodes/s ({DIVES} dives, 1 chip)",
         "value": round(nodes_per_s, 1),
         "unit": "nodes/s",
         "vs_baseline": round(vs, 3),
