@@ -274,3 +274,25 @@ def test_element_engine_end_to_end():
     r = s.solve(timeout_s=60, chunk=8)
     assert r.status == "optimal"
     assert r.objective == 1  # t[2] = 1 reachable with i >= 2
+
+
+def test_checkpoint_resume(tmp_path):
+    from turbo_tpu.solver.checkpoint import load_state, save_state
+
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/sudoku_opt4.fzn"))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=8, subproblems_power=6,
+                                        max_depth=64))
+    path = str(tmp_path / "ckpt.pkl")
+    # Run a few steps, checkpoint, resume, finish: same optimum.
+    st = s.init_state()
+    step_n = s.make_step_n(8)
+    st = step_n(st)
+    save_state(s, st, path)
+    st2 = load_state(s, path)
+    assert st2 is not None
+    import numpy as _np
+    _np.testing.assert_array_equal(jax.device_get(st.nodes),
+                                   jax.device_get(st2.nodes))
+    r = s.solve(timeout_s=120, chunk=8, checkpoint_path=path)
+    assert r.status == "optimal" and r.objective == -16

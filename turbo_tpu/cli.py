@@ -99,11 +99,15 @@ def run(cfg: Configuration) -> int:
     if cfg.print_intermediate:
         def on_improve(best_lb_tnf):
             print_solution(tnf, best_lb_tnf)
+    extra = {}
+    if cfg.checkpoint_path and cfg.arch != "multi":
+        extra["checkpoint_path"] = cfg.checkpoint_path
     r = solver.solve(timeout_s=timeout_s,
                      stop_after_n_solutions=cfg.stop_after_n_solutions,
                      node_limit=(cfg.stop_after_n_nodes
                                  if cfg.arch != "multi" else 0),
-                     verbose=cfg.verbose >= 2, on_improve=on_improve)
+                     verbose=cfg.verbose >= 2, on_improve=on_improve,
+                     **extra)
     r.init_time = init_time
     if r.best_lb is not None:
         print_solution(tnf, r.best_lb)

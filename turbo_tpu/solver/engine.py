@@ -499,7 +499,8 @@ class BatchedSolver:
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 16,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
-              node_limit: int = 0, verbose: bool = False, on_improve=None):
+              node_limit: int = 0, verbose: bool = False, on_improve=None,
+              checkpoint_path: str = "", checkpoint_every_s: float = 60.0):
         """Single-device host loop. Returns an EngineResult.
 
         on_improve(best_lb_tnf_ids): called whenever the global
@@ -510,10 +511,16 @@ class BatchedSolver:
         if self.plan.root_unsat:
             return EngineResult.unsat(self)
         st = self.init_state()
+        if checkpoint_path:
+            from .checkpoint import load_state
+            restored = load_state(self, checkpoint_path)
+            if restored is not None:
+                st = restored
         step_n = self.make_step_n(chunk)
         steps = 0
         stopped = False
         first_call = True
+        last_ckpt = time.monotonic()
         best_seen = None
         best_obj_time = 0.0
         last_best = INF + 1
@@ -549,10 +556,18 @@ class BatchedSolver:
             if node_limit and int(jax.device_get(st.nodes.sum())) >= node_limit:
                 stopped = True
                 break
+            if checkpoint_path and \
+                    time.monotonic() - last_ckpt > checkpoint_every_s:
+                from .checkpoint import save_state
+                save_state(self, st, checkpoint_path)
+                last_ckpt = time.monotonic()
             if verbose:
                 bb = int(jax.device_get(st.best_bound.min()))
                 print(f"% steps={steps} best={bb if bb < INF else None} "
                       f"idle={(phase == IDLE).sum()}/{len(phase)}")
+        if checkpoint_path and stopped:
+            from .checkpoint import save_state
+            save_state(self, st, checkpoint_path)
         res = EngineResult.from_state(self, st, stopped,
                                        time.monotonic() - t0)
         res.best_obj_time = best_obj_time

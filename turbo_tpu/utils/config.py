@@ -37,6 +37,7 @@ class Configuration:
     disable_simplify: bool = False
     force_ternarize: bool = False
     disable_network_analysis: bool = False
+    checkpoint_path: str = ""
 
 
 def parse_args(argv=None) -> Configuration:
@@ -82,6 +83,8 @@ def parse_args(argv=None) -> Configuration:
     p.add_argument("-disable_simplify", action="store_true")
     p.add_argument("-force_ternarize", action="store_true")
     p.add_argument("-disable_network_analysis", action="store_true")
+    p.add_argument("-checkpoint", default="", metavar="PATH",
+                   help="periodically save search state; resume if PATH exists")
     p.add_argument("-version", action="version", version="turbo-tpu 0.1.0")
     a = p.parse_args(argv)
     arch = {"barebones": "tpu", "gpu": "tpu", "hybrid": "tpu"}.get(a.arch, a.arch)
@@ -95,6 +98,7 @@ def parse_args(argv=None) -> Configuration:
         subproblems_factor=a.subfactor, stop_after_n_nodes=a.cutnodes,
         seed=a.seed, max_depth=a.stack,
         eps_var_order=a.eps_var_order, eps_value_order=a.eps_value_order,
+        checkpoint_path=a.checkpoint,
         disable_simplify=a.disable_simplify,
         force_ternarize=a.force_ternarize,
         disable_network_analysis=a.disable_network_analysis)
