@@ -296,3 +296,54 @@ def test_checkpoint_resume(tmp_path):
                                    jax.device_get(st2.nodes))
     r = s.solve(timeout_s=120, chunk=8, checkpoint_path=path)
     assert r.status == "optimal" and r.objective == -16
+
+
+def test_jax_linear_kernel_matches_numpy():
+    """Native linear kernels: JAX vs numpy on random narrowed stores."""
+    text = """
+    var 0..9: a; var -5..5: b :: output_var; var 0..20: c;
+    constraint int_lin_le([2, -3, 1], [a, b, c], 7);
+    constraint int_lin_eq([1, 1, 1], [a, b, c], 12);
+    constraint int_lin_le_reif([4, 1], [a, c], 9, b);
+    solve minimize b;
+    """
+    tnf = compile_model(parse_fzn_text(text))
+    assert len(tnf.linears) >= 2
+    plan = build_plan(tnf)
+    kernels = PropagatorKernels(plan)
+    table = PropTable(tnf)
+    rng = np.random.default_rng(5)
+    D = 8
+    Vr = tnf.num_vars
+    lbs, ubs = [], []
+    for d in range(D):
+        lb = tnf.lb0.copy()
+        ub = tnf.ub0.copy()
+        for v in rng.choice(Vr, size=2, replace=False):
+            if lb[v] < ub[v]:
+                lo = rng.integers(lb[v], ub[v] + 1)
+                hi = rng.integers(lo, ub[v] + 1)
+                lb[v], ub[v] = lo, hi
+        lbs.append(lb)
+        ubs.append(ub)
+    np_res = []
+    for lb, ub in zip(lbs, ubs):
+        l, u = lb.copy(), ub.copy()
+        table.propagate(l, u)
+        np_res.append((l, u))
+    lbp = np.stack([plan.lb0.copy() for _ in range(D)])
+    ubp = np.stack([plan.ub0.copy() for _ in range(D)])
+    for d in range(D):
+        lbp[d, plan.perm] = lbs[d]
+        ubp[d, plan.perm] = ubs[d]
+    jl, ju, _ = jax.jit(kernels.fixpoint)(jnp.asarray(lbp, jnp.int32),
+                                          jnp.asarray(ubp, jnp.int32))
+    jl, ju = np.asarray(jl), np.asarray(ju)
+    for d in range(D):
+        nl, nu = np_res[d]
+        bot_np = (nl > nu).any()
+        bot_jx = (jl[d] > ju[d]).any()
+        assert bot_np == bot_jx, f"dive {d}"
+        if not bot_np:
+            np.testing.assert_array_equal(jl[d][plan.perm], nl)
+            np.testing.assert_array_equal(ju[d][plan.perm], nu)

@@ -257,6 +257,16 @@ def _finalize(ctx: _Ctx, obj_var, orig_obj_var, is_max, strategies, outputs,
         if k not in mseen:
             mseen.add(k)
             members.append(mcon)
+    from .tnf import LinCon
+    linears = []
+    lseen = set()
+    for bb, op, rhs, coefs, vs in b.linears:
+        lc = LinCon(int(remap[b.find(bb)]), op, rhs, coefs,
+                    tuple(int(remap[b.find(x)]) for x in vs))
+        k = (lc.b, lc.op, lc.rhs, lc.coefs, lc.vars)
+        if k not in lseen:
+            lseen.add(k)
+            linears.append(lc)
 
     return Tnf(
         lb0=lb0, ub0=ub0, ops=ops, xs=xs, ys=ys, zs=zs,
@@ -271,6 +281,7 @@ def _finalize(ctx: _Ctx, obj_var, orig_obj_var, is_max, strategies, outputs,
         n_parsed_cons=n_parsed_cons,
         elements=elements,
         members=members,
+        linears=linears,
         var_map={name: int(remap[b.find(vid)])
                  for name, vid in ctx.var_ids.items()},
     )
@@ -307,17 +318,43 @@ def _lin_sum(ctx: _Ctx, cs_arg, xs_arg) -> int:
 
 
 def _c_int_lin_eq(ctx, args):
-    s = _lin_sum(ctx, args[0], args[1])
-    ctx.b.union(s, ctx.term(args[2]))
+    cs = ctx.const_list(args[0])
+    xs = ctx.term_list(args[1])
+    k = ctx.term(args[2])
+    rk = ctx.b.find(k)
+    if ctx.b.lb[rk] == ctx.b.ub[rk]:
+        b = ctx.b.lin(cs, xs, 1, ctx.b.lb[rk])
+        if b is not None:
+            ctx.b.fix(b, 1)
+            return
+    else:
+        # sum == k with variable k: sum + (-1)k == 0
+        b = ctx.b.lin(list(cs) + [-1], xs + [k], 1, 0)
+        if b is not None:
+            ctx.b.fix(b, 1)
+            return
+    s = ctx.b.linear(cs, xs)
+    ctx.b.union(s, k)
 
 
 def _c_int_lin_le(ctx, args):
-    s = _lin_sum(ctx, args[0], args[1])
+    cs = ctx.const_list(args[0])
+    xs = ctx.term_list(args[1])
     k = ctx.term(args[2])
     kv = ctx.b.find(k)
     if ctx.b.lb[kv] == ctx.b.ub[kv]:
+        b = ctx.b.lin(cs, xs, 0, ctx.b.lb[kv])
+        if b is not None:
+            ctx.b.fix(b, 1)
+            return
+        s = ctx.b.linear(cs, xs)
         ctx.b.meet_dom(s, NINF, ctx.b.lb[kv])
     else:
+        b = ctx.b.lin(list(cs) + [-1], xs + [k], 0, 0)
+        if b is not None:
+            ctx.b.fix(b, 1)
+            return
+        s = ctx.b.linear(cs, xs)
         ctx.b.fix(ctx.b.le(s, k), 1)
 
 
@@ -327,13 +364,35 @@ def _c_int_lin_ne(ctx, args):
 
 
 def _c_int_lin_eq_reif(ctx, args):
-    s = _lin_sum(ctx, args[0], args[1])
-    ctx.b.eq(s, ctx.term(args[2]), hint=ctx.term(args[3]))
+    cs = ctx.const_list(args[0])
+    xs = ctx.term_list(args[1])
+    k = ctx.term(args[2])
+    r = ctx.term(args[3])
+    rk = ctx.b.find(k)
+    if ctx.b.lb[rk] == ctx.b.ub[rk]:
+        if ctx.b.lin(cs, xs, 1, ctx.b.lb[rk], hint=r) is not None:
+            return
+    else:
+        if ctx.b.lin(list(cs) + [-1], xs + [k], 1, 0, hint=r) is not None:
+            return
+    s = ctx.b.linear(cs, xs)
+    ctx.b.eq(s, k, hint=r)
 
 
 def _c_int_lin_le_reif(ctx, args):
-    s = _lin_sum(ctx, args[0], args[1])
-    ctx.b.le(s, ctx.term(args[2]), hint=ctx.term(args[3]))
+    cs = ctx.const_list(args[0])
+    xs = ctx.term_list(args[1])
+    k = ctx.term(args[2])
+    r = ctx.term(args[3])
+    rk = ctx.b.find(k)
+    if ctx.b.lb[rk] == ctx.b.ub[rk]:
+        if ctx.b.lin(cs, xs, 0, ctx.b.lb[rk], hint=r) is not None:
+            return
+    else:
+        if ctx.b.lin(list(cs) + [-1], xs + [k], 0, 0, hint=r) is not None:
+            return
+    s = ctx.b.linear(cs, xs)
+    ctx.b.le(s, k, hint=r)
 
 
 def _c_int_lin_ne_reif(ctx, args):
@@ -468,8 +527,12 @@ def _c_array_bool_xor(ctx, args):
     if n == 0:
         ctx.b.root_unsat = True
         return
-    s = ctx.b.linear([1] * n, elems)
     q = ctx.b.new_var(0, (n - 1) // 2)
+    b = ctx.b.lin([1] * n + [-2], elems + [q], 1, 1)
+    if b is not None:
+        ctx.b.fix(b, 1)
+        return
+    s = ctx.b.linear([1] * n, elems)
     t = ctx.b.fn(OP_MUL, ctx.b.const(2), q)
     t1 = ctx.b.fn(OP_ADD, t, ctx.b.const(1))
     ctx.b.union(s, t1)
@@ -479,6 +542,11 @@ def _c_bool_clause(ctx, args):
     pos = ctx.term_list(args[0])
     neg = ctx.term_list(args[1])
     # sum(pos) - sum(neg) >= 1 - |neg|  <=>  -sum(pos) + sum(neg) <= |neg| - 1
+    b = ctx.b.lin([-1] * len(pos) + [1] * len(neg), pos + neg, 0,
+                  len(neg) - 1)
+    if b is not None:
+        ctx.b.fix(b, 1)
+        return
     s = ctx.b.linear([-1] * len(pos) + [1] * len(neg), pos + neg)
     ctx.b.meet_dom(s, NINF, len(neg) - 1)
 
@@ -603,12 +671,23 @@ _DISPATCH = {
 
 
 def _c_int_lin_lt(ctx, args):
-    s = _lin_sum(ctx, args[0], args[1])
+    cs = ctx.const_list(args[0])
+    xs = ctx.term_list(args[1])
     k = ctx.term(args[2])
     kv = ctx.b.find(k)
     if ctx.b.lb[kv] == ctx.b.ub[kv]:
+        b = ctx.b.lin(cs, xs, 0, ctx.b.lb[kv] - 1)
+        if b is not None:
+            ctx.b.fix(b, 1)
+            return
+        s = ctx.b.linear(cs, xs)
         ctx.b.meet_dom(s, NINF, ctx.b.lb[kv] - 1)
     else:
+        b = ctx.b.lin(list(cs) + [-1], xs + [k], 0, -1)
+        if b is not None:
+            ctx.b.fix(b, 1)
+            return
+        s = ctx.b.linear(cs, xs)
         s1 = ctx.b.fn(OP_ADD, s, ctx.b.const(1))
         ctx.b.fix(ctx.b.le(s1, k), 1)
 

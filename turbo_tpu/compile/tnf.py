@@ -87,6 +87,26 @@ class MemberCon:
     values: tuple
 
 
+LIN_LE = 0  # b = (sum coef*var <= rhs)
+LIN_EQ = 1  # b = (sum coef*var == rhs)
+
+
+@dataclasses.dataclass
+class LinCon:
+    """Native (reified) linear constraint: b = (sum c_i x_i <op> rhs).
+
+    Hard constraints use b = the interned constant 1. Replaces the
+    reference's ternarized sum trees with single-sweep bounds filtering
+    (the classic linear propagator), which converges in one iteration
+    instead of tree-depth iterations.
+    """
+    b: int
+    op: int       # LIN_LE | LIN_EQ
+    rhs: int
+    coefs: tuple  # nonzero ints
+    vars: tuple   # variable ids, same length
+
+
 @dataclasses.dataclass
 class Tnf:
     """Finalized ternary constraint network."""
@@ -107,6 +127,7 @@ class Tnf:
     n_parsed_cons: int = 0
     elements: List[ElementCon] = dataclasses.field(default_factory=list)
     members: List[MemberCon] = dataclasses.field(default_factory=list)
+    linears: List[LinCon] = dataclasses.field(default_factory=list)
     # Declared-name -> finalized variable id (through the union-find).
     var_map: Dict[str, int] = dataclasses.field(default_factory=dict)
 
@@ -133,6 +154,7 @@ class Builder:
         self.memo: Dict[Tuple[int, int, int], int] = {}
         self.elements: List[Tuple[int, int, tuple]] = []
         self.members: List[Tuple[int, int, tuple]] = []
+        self.linears: List[Tuple[int, int, int, tuple, tuple]] = []
         self.root_unsat = False
 
     # ---- variables -------------------------------------------------
@@ -382,6 +404,50 @@ class Builder:
             self.members.append((x, b, tuple(values)))
             return b
         return self.max_tree([self.eq(x, self.const(v)) for v in values], hint)
+
+    MAX_LIN_TERMS = 512
+
+    def lin(self, coefs: Sequence[int], xs: Sequence[int], op: int,
+            rhs: int, hint: Optional[int] = None) -> Optional[int]:
+        """Native linear constraint b = (sum coef*x <op> rhs).
+        Returns the reified b (or None if the term list exceeds the
+        native limit; caller falls back to the sum-tree path).
+        Constant terms fold into rhs; repeated vars merge."""
+        acc = {}
+        rhs = int(rhs)
+        for c, x in zip(coefs, xs):
+            c = int(c)
+            if c == 0:
+                continue
+            x = self.find(x)
+            if self.lb[x] == self.ub[x]:
+                rhs -= c * self.lb[x]
+                continue
+            acc[x] = acc.get(x, 0) + c
+        terms = [(c, x) for x, c in acc.items() if c != 0]
+        if len(terms) > self.MAX_LIN_TERMS:
+            return None
+        if not terms:
+            holds = (0 <= rhs) if op == LIN_LE else (0 == rhs)
+            c = self.const(1 if holds else 0)
+            if hint is not None:
+                self.union(hint, c)
+            return c
+        coefs_t = tuple(c for c, _ in terms)
+        vars_t = tuple(x for _, x in terms)
+        key = ("lin", op, rhs, coefs_t, vars_t)
+        b = self.memo.get(key)
+        if b is not None:
+            b = self.find(b)
+            if hint is not None:
+                b = self.union(hint, b)
+                self.memo[key] = b
+            return b
+        b = self.find(hint) if hint is not None else self.new_var(0, 1)
+        self.meet_dom(b, 0, 1)
+        self.memo[key] = b
+        self.linears.append((b, op, rhs, coefs_t, vars_t))
+        return b
 
     MAX_ELEMENT_LEN = 2048
 

@@ -44,6 +44,80 @@ class PropTable:
                 self.groups.append((op, slice(idx[0], idx[-1] + 1)))
         self._build_element_tables(tnf.elements)
         self._build_member_tables(tnf.members)
+        self._build_linear_tables(tnf.linears)
+
+    SUM_CLAMP = np.int64(1) << 40
+
+    def _build_linear_tables(self, linears):
+        self.L = len(linears)
+        if not self.L:
+            return
+        K = max(len(l.coefs) for l in linears)
+        C = self.L
+        self.l_b = np.array([l.b for l in linears], dtype=np.int64)
+        self.l_op = np.array([l.op for l in linears], dtype=np.int64)
+        self.l_rhs = np.array([l.rhs for l in linears], dtype=np.int64)
+        self.l_coef = np.zeros((C, K), dtype=np.int64)
+        self.l_var = np.zeros((C, K), dtype=np.int64)
+        for i, l in enumerate(linears):
+            self.l_coef[i, :len(l.coefs)] = l.coefs
+            self.l_var[i, :len(l.vars)] = l.vars
+
+    def _linear_sums(self, lb, ub):
+        xl = lb[self.l_var]
+        xu = ub[self.l_var]
+        a = self.l_coef * xl
+        b = self.l_coef * xu
+        tmin = np.clip(np.minimum(a, b), -self.SUM_CLAMP, self.SUM_CLAMP)
+        tmax = np.clip(np.maximum(a, b), -self.SUM_CLAMP, self.SUM_CLAMP)
+        return tmin, tmax, tmin.sum(axis=1), tmax.sum(axis=1)
+
+    def _linear_cands(self, lb, ub):
+        """Returns (term_lo (C,K), term_hi (C,K), b_lo (C,), b_hi (C,))."""
+        tmin, tmax, Smin, Smax = self._linear_sums(lb, ub)
+        rhs = self.l_rhs
+        is_eq = self.l_op == 1
+        b_lo = np.where(is_eq, (Smin == rhs) & (Smax == rhs),
+                        Smax <= rhs).astype(np.int64)
+        b_hi = np.where(is_eq, (Smin <= rhs) & (rhs <= Smax),
+                        Smin <= rhs).astype(np.int64)
+        tt = (lb[self.l_b] >= 1)[:, None]
+        ff = (ub[self.l_b] <= 0)[:, None]
+        c = self.l_coef
+        live = c != 0
+        csafe = np.where(live, c, 1)
+        # "<=" direction (active when tt, or tt&EQ):
+        R = rhs[:, None] - (Smin[:, None] - tmin)
+        ub_le = np.floor_divide(R, csafe)      # bound on x for c>0
+        lb_le = -np.floor_divide(-R, csafe)    # ceil, bound for c<0
+        # ">=" direction: sum >= rhs2 where rhs2 = rhs (EQ&tt) or rhs+1 (LE&ff)
+        rhs2 = np.where(is_eq, rhs, rhs + 1)[:, None]
+        R2 = rhs2 - (Smax[:, None] - tmax)
+        lb_ge = -np.floor_divide(-R2, csafe)   # ceil, bound for c>0
+        ub_ge = np.floor_divide(R2, csafe)     # bound for c<0
+        cpos = c > 0
+        ge_act = (is_eq[:, None] & tt) | (~is_eq[:, None] & ff)
+        le_act = tt
+        ninf = np.full_like(tmin, NINF)
+        pinf = np.full_like(tmin, INF)
+        term_hi = np.where(live & le_act & cpos, ub_le, pinf)
+        term_hi = np.minimum(term_hi,
+                             np.where(live & ge_act & ~cpos, ub_ge, pinf))
+        term_lo = np.where(live & le_act & ~cpos, lb_le, ninf)
+        term_lo = np.maximum(term_lo,
+                             np.where(live & ge_act & cpos, lb_ge, ninf))
+        return (np.clip(term_lo, NINF, INF), np.clip(term_hi, NINF, INF),
+                b_lo, b_hi)
+
+    def _linear_ask(self, lb, ub):
+        _, _, Smin, Smax = self._linear_sums(lb, ub)
+        rhs = self.l_rhs
+        is_eq = self.l_op == 1
+        tt = lb[self.l_b] >= 1
+        ff = ub[self.l_b] <= 0
+        ent_t = np.where(is_eq, (Smin == rhs) & (Smax == rhs), Smax <= rhs)
+        ent_f = np.where(is_eq, (rhs < Smin) | (rhs > Smax), Smin > rhs)
+        return (tt & ent_t) | (ff & ent_f)
 
     def _build_element_tables(self, elements):
         self.E = len(elements)
@@ -230,6 +304,18 @@ class PropTable:
                     if not changed and (np.any(lb[ids] > old_l)
                                         or np.any(ub[ids] < old_u)):
                         changed = True
+            if getattr(self, "L", 0):
+                tl, th, bl, bh = self._linear_cands(lb, ub)
+                deds += self.L
+                flat = self.l_var.ravel()
+                for ids, cl, cu in ((flat, tl.ravel(), th.ravel()),
+                                    (self.l_b, bl, bh)):
+                    old_l, old_u = lb[ids], ub[ids]
+                    np.maximum.at(lb, ids, cl)
+                    np.minimum.at(ub, ids, cu)
+                    if not changed and (np.any(lb[ids] > old_l)
+                                        or np.any(ub[ids] < old_u)):
+                        changed = True
             if np.any(lb > ub):
                 return iters, deds, True
             if not changed:
@@ -245,6 +331,8 @@ class PropTable:
         if getattr(self, "E", 0) and not self._element_ask(lb, ub).all():
             return False
         if getattr(self, "M", 0) and not self._member_ask(lb, ub).all():
+            return False
+        if getattr(self, "L", 0) and not self._linear_ask(lb, ub).all():
             return False
         return True
 

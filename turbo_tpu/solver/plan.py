@@ -95,6 +95,9 @@ class Plan:
     m_prev_le: Optional[np.ndarray] = None
     m_next_out: Optional[np.ndarray] = None
     m_prev_out: Optional[np.ndarray] = None
+    # Native linear constraints, bucketed by term count: list of
+    # (b (C,), op (C,), rhs (C,), coef (C,K), var (C,K)).
+    lin_buckets: List[tuple] = dataclasses.field(default_factory=list)
 
     @property
     def E(self):
@@ -103,6 +106,14 @@ class Plan:
     @property
     def M(self):
         return 0 if self.m_x is None else len(self.m_x)
+
+    @property
+    def L(self):
+        return sum(len(b[0]) for b in self.lin_buckets)
+
+    @property
+    def L_terms(self):
+        return sum(b[3].shape[0] * b[3].shape[1] for b in self.lin_buckets)
 
     @property
     def shape_signature(self):
@@ -114,6 +125,7 @@ class Plan:
             tuple(len(s.ids) for s in self.strategies),
             (self.E, 0 if self.e_tab is None else self.e_tab.shape[1]),
             (self.M, 0 if self.m_cnt is None else self.m_cnt.shape[1]),
+            tuple(b[3].shape for b in self.lin_buckets),
         )
 
 
@@ -153,7 +165,28 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
         if keep_members:
             ask_m = table._member_ask(lb, ub)
             keep_members = [m for m, a in zip(keep_members, ask_m) if not a]
-    root_entailed = (num_real_props == 0 and not keep_elems and not keep_members)
+    keep_lins = list(tnf.linears)
+    if not root_unsat and keep_lins:
+        ask_l = table._linear_ask(lb, ub)
+        keep_lins = [l for l, a in zip(keep_lins, ask_l) if not a]
+        # Fold root-singleton terms into the rhs (shrinks term counts).
+        from ..compile.tnf import LinCon
+        folded = []
+        for l in keep_lins:
+            rhs = l.rhs
+            cs, vs = [], []
+            for c, x in zip(l.coefs, l.vars):
+                if lb[x] == ub[x]:
+                    rhs -= c * int(lb[x])
+                else:
+                    cs.append(c)
+                    vs.append(x)
+            folded.append(LinCon(l.b, l.op, rhs, tuple(cs), tuple(vs)))
+        keep_lins = folded
+    elif root_unsat:
+        keep_lins = []
+    root_entailed = (num_real_props == 0 and not keep_elems
+                     and not keep_members and not keep_lins)
 
     # Degree of each variable over live props; root singletons excluded.
     singleton = lb == ub
@@ -168,6 +201,10 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
     for m in keep_members:
         deg[m.x] += 1
         deg[m.b] += 1
+    for l in keep_lins:
+        for x in l.vars:
+            deg[x] += 1
+        deg[l.b] += 1
     active = ~singleton
 
     # Power-of-two K ladder from 2: balances combine padding against
@@ -274,7 +311,25 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
         base += padded
     E = quantize(max(len(keep_elems), 1), min_gran=8)
     M = quantize(max(len(keep_members), 1), min_gran=8)
-    neutral = 3 * P + 2 * E + 2 * M
+    # Bucket linears by padded term count.
+    lin_by_k = {}
+    for l in keep_lins:
+        K = 2
+        while K < len(l.coefs):
+            K *= 2
+        lin_by_k.setdefault(K, []).append(l)
+    lin_bucket_list = []
+    for K in sorted(lin_by_k):
+        ls = lin_by_k[K]
+        Cb = quantize(len(ls), min_gran=8)
+        lin_bucket_list.append((K, Cb, ls))
+    if not lin_bucket_list:
+        lin_bucket_list.append((2, 8, []))
+    L_terms_total = sum(Cb * K for K, Cb, _ in lin_bucket_list)
+    L_total = sum(Cb for _, Cb, _ in lin_bucket_list)
+    base_lin = 3 * P + 2 * E + 2 * M
+    base_linb = base_lin + L_terms_total
+    neutral = base_linb + L_total
 
     # Incidence lists per active permuted var (padding rows stay empty).
     inc: List[List[int]] = [[] for _ in range(n_active)]
@@ -292,6 +347,19 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
                      (perm[m.b], 3 * P + 2 * E + M + i)):
             if v < n_active:
                 inc[v].append(int(s))
+    off_t = 0
+    off_c = 0
+    for K, Cb, ls in lin_bucket_list:
+        for j, l in enumerate(ls):
+            for t, x in enumerate(l.vars):
+                v = perm[x]
+                if v < n_active:
+                    inc[v].append(int(base_lin + off_t + j * K + t))
+            vb = perm[l.b]
+            if vb < n_active:
+                inc[vb].append(int(base_linb + off_c + j))
+        off_t += Cb * K
+        off_c += Cb
 
     buckets: List[Bucket] = []
     for K, real, start, padded in bucket_ranges:
@@ -389,12 +457,30 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
             m_prev_le[i, k2] = prv
             m_prev_out[i, k2] = pvo
 
+    lin_buckets = []
+    BIG_RHS = 1 << 40
+    for K, Cb, ls in lin_bucket_list:
+        lb_arr = np.full(Cb, dummy1, dtype=np.int32)
+        lop = np.zeros(Cb, dtype=np.int32)
+        lrhs = np.full(Cb, BIG_RHS, dtype=np.int64)
+        lcoef = np.zeros((Cb, K), dtype=np.int32)
+        lvar = np.full((Cb, K), dummy, dtype=np.int32)
+        for j, l in enumerate(ls):
+            lb_arr[j] = perm[l.b]
+            lop[j] = l.op
+            lrhs[j] = l.rhs
+            lcoef[j, :len(l.coefs)] = l.coefs
+            lvar[j, :len(l.vars)] = perm[np.asarray(l.vars, dtype=np.int64)]
+        lin_buckets.append((lb_arr, lop, lrhs, lcoef, lvar))
+
     return Plan(V=V, n_active=n_active, P=P, lb0=lb_p, ub0=ub_p,
                 groups=groups, buckets=buckets, obj=obj, is_opt=is_opt,
                 strategies=strategies, inv_perm=inv_perm, perm=perm,
                 root_unsat=root_unsat, root_entailed=root_entailed,
-                num_real_props=num_real_props + len(keep_elems) + len(keep_members),
+                num_real_props=(num_real_props + len(keep_elems)
+                                + len(keep_members) + len(keep_lins)),
                 e_idx=e_idx, e_res=e_res, e_len=e_len, e_tab=e_tab,
                 m_x=m_x, m_b=m_b, m_base=m_base, m_top=m_top, m_cnt=m_cnt,
                 m_next_ge=m_next_ge, m_prev_le=m_prev_le,
-                m_next_out=m_next_out, m_prev_out=m_prev_out)
+                m_next_out=m_next_out, m_prev_out=m_prev_out,
+                lin_buckets=lin_buckets)

@@ -204,6 +204,8 @@ class PropagatorKernels:
             self.e_res = jnp.asarray(plan.e_res)
             self.e_len = jnp.asarray(plan.e_len)
             self.e_tab = jnp.asarray(plan.e_tab)
+        self.lin_buckets = [tuple(jnp.asarray(a) for a in bk)
+                            for bk in plan.lin_buckets]
         if self.M:
             self.m_x = jnp.asarray(plan.m_x)
             self.m_b = jnp.asarray(plan.m_b)
@@ -214,6 +216,81 @@ class PropagatorKernels:
             self.m_prev_le = jnp.asarray(plan.m_prev_le)
             self.m_next_out = jnp.asarray(plan.m_next_out)
             self.m_prev_out = jnp.asarray(plan.m_prev_out)
+
+    SUM_CLAMP = 1 << 40
+
+    def _linear_bucket_cands(self, lb, ub, lbk):
+        """Candidates for one linear bucket: returns (term_lo, term_hi
+        (D, C*K) flattened, b_lo, b_hi (D, C))."""
+        l_b, l_op, l_rhs, l_coef, l_var = lbk
+        D = lb.shape[0]
+        C, K = l_coef.shape
+        xl = lb[:, l_var.reshape(-1)].reshape(D, C, K).astype(I64)
+        xu = ub[:, l_var.reshape(-1)].reshape(D, C, K).astype(I64)
+        c = l_coef.astype(I64)[None, :, :]
+        a = c * xl
+        b2 = c * xu
+        tmin = jnp.clip(jnp.minimum(a, b2), -self.SUM_CLAMP, self.SUM_CLAMP)
+        tmax = jnp.clip(jnp.maximum(a, b2), -self.SUM_CLAMP, self.SUM_CLAMP)
+        Smin = tmin.sum(axis=2)
+        Smax = tmax.sum(axis=2)
+        rhs = l_rhs[None, :]
+        is_eq = (l_op == 1)[None, :]
+        b_lo = jnp.where(is_eq, (Smin == rhs) & (Smax == rhs),
+                         Smax <= rhs).astype(I32)
+        b_hi = jnp.where(is_eq, (Smin <= rhs) & (rhs <= Smax),
+                         Smin <= rhs).astype(I32)
+        tt = (lb[:, l_b] >= 1)[:, :, None]
+        ff = (ub[:, l_b] <= 0)[:, :, None]
+        live = (l_coef != 0)[None, :, :]
+        csafe = jnp.where(live, c, 1)
+        # "<=" direction: one division; ceil derived from floor+rem.
+        R = rhs[:, :, None] - (Smin[:, :, None] - tmin)
+        q_le = jnp.floor_divide(R, csafe)
+        ceil_le = q_le + ((R - q_le * csafe) != 0)
+        # ">=" direction.
+        rhs2 = jnp.where(is_eq, rhs, rhs + 1)[:, :, None]
+        R2 = rhs2 - (Smax[:, :, None] - tmax)
+        q_ge = jnp.floor_divide(R2, csafe)
+        ceil_ge = q_ge + ((R2 - q_ge * csafe) != 0)
+        cpos = (l_coef > 0)[None, :, :]
+        is_eq3 = is_eq[:, :, None]
+        ge_act = (is_eq3 & tt) | (~is_eq3 & ff)
+        le_act = tt
+        term_hi = jnp.where(live & le_act & cpos, q_le, INF)
+        term_hi = jnp.minimum(term_hi,
+                              jnp.where(live & ge_act & ~cpos, q_ge, INF))
+        term_lo = jnp.where(live & le_act & ~cpos, ceil_le, NINF)
+        term_lo = jnp.maximum(term_lo,
+                              jnp.where(live & ge_act & cpos, ceil_ge, NINF))
+        term_lo = jnp.clip(term_lo, NINF, INF).astype(I32).reshape(D, C * K)
+        term_hi = jnp.clip(term_hi, NINF, INF).astype(I32).reshape(D, C * K)
+        return term_lo, term_hi, b_lo, b_hi
+
+    def _linear_ask_all(self, lb, ub):
+        out = jnp.ones(lb.shape[0], dtype=bool)
+        for lbk in self.lin_buckets:
+            l_b, l_op, l_rhs, l_coef, l_var = lbk
+            D = lb.shape[0]
+            C, K = l_coef.shape
+            xl = lb[:, l_var.reshape(-1)].reshape(D, C, K).astype(I64)
+            xu = ub[:, l_var.reshape(-1)].reshape(D, C, K).astype(I64)
+            c = l_coef.astype(I64)[None, :, :]
+            a = c * xl
+            b2 = c * xu
+            Smin = jnp.clip(jnp.minimum(a, b2), -self.SUM_CLAMP,
+                            self.SUM_CLAMP).sum(axis=2)
+            Smax = jnp.clip(jnp.maximum(a, b2), -self.SUM_CLAMP,
+                            self.SUM_CLAMP).sum(axis=2)
+            rhs = l_rhs[None, :]
+            is_eq = (l_op == 1)[None, :]
+            tt = lb[:, l_b] >= 1
+            ff = ub[:, l_b] <= 0
+            ent_t = jnp.where(is_eq, (Smin == rhs) & (Smax == rhs),
+                              Smax <= rhs)
+            ent_f = jnp.where(is_eq, (rhs < Smin) | (rhs > Smax), Smin > rhs)
+            out = out & ((tt & ent_t) | (ff & ent_f)).all(axis=1)
+        return out
 
     # -- native global constraints ------------------------------------
 
@@ -339,6 +416,15 @@ class PropagatorKernels:
             xl, xh, bl, bh = self._member_cands(lb, ub)
             extra_l += [xl, bl]
             extra_u += [xh, bh]
+        lin_b_l, lin_b_u = [], []
+        for lbk in self.lin_buckets:
+            tl, th, bl2, bh2 = self._linear_bucket_cands(lb, ub, lbk)
+            extra_l.append(tl)
+            extra_u.append(th)
+            lin_b_l.append(bl2)
+            lin_b_u.append(bh2)
+        extra_l += lin_b_l
+        extra_u += lin_b_u
         cand_l = jnp.concatenate(
             xls + yls + zls + extra_l +
             [jnp.full((D, 1), NINF, dtype=I32)], axis=1)
@@ -417,6 +503,8 @@ class PropagatorKernels:
             out = out & self._element_ask(lb, ub).all(axis=1)
         if self.M:
             out = out & self._member_ask(lb, ub).all(axis=1)
+        if self.lin_buckets:
+            out = out & self._linear_ask_all(lb, ub)
         return out
 
     def is_bot(self, lb, ub):
