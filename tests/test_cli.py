@@ -36,6 +36,12 @@ def test_cli_tpu_arch():
     assert r.returncode == 0, r.stderr
     assert "==========" in r.stdout
     assert "y = -10;" in r.stdout
+    # Per-phase timer stats (statistics.hpp:355-371 parity).
+    for key in ("fixpoint_time=", "search_time=", "dive_time=",
+                "wait_cpu_time=", "transfer_gpu2cpu_time=",
+                "cumulative_time_block_sec=", "num_blocks=",
+                "first_block_idle_time=", "num_blocks_done="):
+        assert f"%%%mzn-stat: {key}" in r.stdout, key
 
 
 def test_cli_satisfaction_all_solutions():

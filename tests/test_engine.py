@@ -347,3 +347,47 @@ def test_jax_linear_kernel_matches_numpy():
         if not bot_np:
             np.testing.assert_array_equal(jl[d][plan.perm], nl)
             np.testing.assert_array_equal(ju[d][plan.perm], nu)
+
+
+def test_phase_timers(bench_dir):
+    """Per-phase timer parity (statistics.hpp:13-29): timers populate,
+    are non-negative, and the fixpoint/search split covers the measured
+    device time."""
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / "sudoku_opt3.fzn")))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=8, subproblems_power=4,
+                                        max_depth=128, fp_max_iters=16))
+    r = s.solve(timeout_s=60.0)
+    assert r.status == "optimal"
+    assert r.num_blocks == 8
+    assert r.num_blocks_done == 8
+    assert r.variables == tnf.num_vars
+    assert r.propagators > 0
+    for f in ("search_time", "fixpoint_time", "dive_time",
+              "transfer_cpu2gpu_time", "transfer_gpu2cpu_time",
+              "wait_cpu_time", "first_block_idle_time",
+              "cumulative_time_block_sec"):
+        assert getattr(r, f) >= 0.0, f
+    # The split partitions device time: per-block sums stay within wall.
+    assert r.fixpoint_time + r.search_time <= r.solve_time + 1e-6
+    assert r.dive_time <= r.solve_time + 1e-6
+    assert r.first_block_idle_time <= r.solve_time + 1e-6
+    assert r.deductions_per_block_second >= 0.0
+
+
+def test_phase_timers_attribution():
+    """The least-squares FIXPOINT/SEARCH attribution recovers a known
+    linear cost model from synthetic chunk samples."""
+    from turbo_tpu.solver.timers import PhaseTimers
+    t = PhaseTimers(num_lanes=4)
+    a, b = 0.010, 0.002  # fixed cost per chunk, cost per fp iteration
+    total = 0
+    for i, iters in enumerate([10, 30, 20, 50, 40]):
+        total += iters
+        t.record_chunk(a + b * iters, total, np.array([0, 1, 1, 2]),
+                       chunk=4, now=float(i))
+    fix, search = t.fixpoint_search_split()
+    assert abs(fix - b * total) < 1e-9
+    assert abs(search - 5 * a) < 1e-9
+    assert t.dive_steps == 5 * 4  # one DIVE lane per chunk x chunk steps
+    assert t.act_steps == 15 * 4
+    assert t.first_idle == 0.0

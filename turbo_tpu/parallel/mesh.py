@@ -90,10 +90,16 @@ class ShardedSolver:
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
               node_limit: int = 0, verbose: bool = False,
               on_improve=None) -> EngineResult:
+        from ..solver.timers import PhaseTimers
         t0 = time.monotonic()
         if self.plan.root_unsat:
             return EngineResult.unsat(self)
+        timers = PhaseTimers(
+            num_lanes=self.solver.cfg.num_dives * self.n_shards)
+        tt = time.monotonic()
         st = self.init_state()
+        jax.block_until_ready(st.lb)
+        timers.transfer_c2g = time.monotonic() - tt
         step_n = self.make_step_n(chunk)
         steps = 0
         stopped = False
@@ -101,14 +107,22 @@ class ShardedSolver:
         best_seen = None
         best_obj_time = 0.0
         while True:
+            td = time.monotonic()
             st = step_n(st)
+            jax.block_until_ready(st.phase)
+            device_dur = time.monotonic() - td
             steps += chunk
+            warmup = first_call
             if first_call:
                 # Exclude one-time XLA compile/load from the solve budget
                 # (the reference's initTime/solveTime split).
                 first_call = False
                 t0 = time.monotonic()
-            phase, sols = jax.device_get((st.phase, st.sols))
+            tg = time.monotonic()
+            phase, sols, fpit = jax.device_get((st.phase, st.sols, st.fpit))
+            timers.transfer_g2c += time.monotonic() - tg
+            timers.record_chunk(device_dur, int(fpit.sum()), phase, chunk,
+                                time.monotonic() - t0, measured=not warmup)
             if on_improve is not None:
                 bb = int(jax.device_get(st.best_bound.min()))
                 if not hasattr(self, "_last_best"):
@@ -137,6 +151,7 @@ class ShardedSolver:
         res = EngineResult.from_state(self, st, stopped,
                                        time.monotonic() - t0)
         res.best_obj_time = best_obj_time
+        timers.fill_result(res, res.solve_time)
         return res
 
     # Attributes EngineResult reads.

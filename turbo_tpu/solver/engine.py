@@ -507,10 +507,15 @@ class BatchedSolver:
         incumbent improves (for -i intermediate solution printing).
         """
         from .result import EngineResult  # local import to avoid cycle
+        from .timers import PhaseTimers
         t0 = time.monotonic()
         if self.plan.root_unsat:
             return EngineResult.unsat(self)
+        timers = PhaseTimers(num_lanes=self.cfg.num_dives * self.num_shards)
+        tt = time.monotonic()
         st = self.init_state()
+        jax.block_until_ready(st.lb)
+        timers.transfer_c2g = time.monotonic() - tt
         if checkpoint_path:
             from .checkpoint import load_state
             restored = load_state(self, checkpoint_path)
@@ -525,14 +530,22 @@ class BatchedSolver:
         best_obj_time = 0.0
         last_best = INF + 1
         while True:
+            td = time.monotonic()
             st = step_n(st)
+            jax.block_until_ready(st.phase)
+            device_dur = time.monotonic() - td
             steps += chunk
+            warmup = first_call
             if first_call:
                 # Exclude one-time XLA compile/load from the solve budget
                 # (the reference's initTime/solveTime split).
                 first_call = False
                 t0 = time.monotonic()
-            phase, sols = jax.device_get((st.phase, st.sols))
+            tg = time.monotonic()
+            phase, sols, fpit = jax.device_get((st.phase, st.sols, st.fpit))
+            timers.transfer_g2c += time.monotonic() - tg
+            timers.record_chunk(device_dur, int(fpit.sum()), phase, chunk,
+                                time.monotonic() - t0, measured=not warmup)
             if on_improve is not None:
                 bb = int(jax.device_get(st.best_bound.min()))
                 if bb < last_best:
@@ -571,4 +584,5 @@ class BatchedSolver:
         res = EngineResult.from_state(self, st, stopped,
                                        time.monotonic() - t0)
         res.best_obj_time = best_obj_time
+        timers.fill_result(res, res.solve_time)
         return res

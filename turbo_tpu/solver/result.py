@@ -35,6 +35,23 @@ class EngineResult:
     solve_time: float = 0.0
     best_obj_time: float = 0.0
     init_time: float = 0.0
+    # Per-phase timers (statistics.hpp:13-29; populated by
+    # solver.timers.PhaseTimers, block-averaged like the reference's
+    # print_block_timing_stat).
+    num_blocks: int = 0
+    num_blocks_done: int = 0
+    variables: int = 0
+    propagators: int = 0
+    search_time: float = 0.0
+    fixpoint_time: float = 0.0
+    dive_time: float = 0.0
+    transfer_cpu2gpu_time: float = 0.0
+    transfer_gpu2cpu_time: float = 0.0
+    select_fp_functions_time: float = 0.0
+    wait_cpu_time: float = 0.0
+    first_block_idle_time: float = 0.0
+    cumulative_time_block_sec: float = 0.0
+    deductions_per_block_second: float = 0.0
 
     @classmethod
     def unsat(cls, solver):
@@ -59,7 +76,9 @@ class EngineResult:
             eps_num_subproblems=solver.num_sub_total,
             eps_solved_subproblems=int(solved.sum()),
             eps_skipped_subproblems=int(skipped.sum()),
-            exhaustive=exhaustive, solve_time=elapsed)
+            exhaustive=exhaustive, solve_time=elapsed,
+            num_blocks=len(phase), num_blocks_done=int((phase == 2).sum()),
+            variables=tnf.num_vars, propagators=plan.num_real_props)
         if not any_best:
             res.status = "unsat" if exhaustive else "unknown"
             return res

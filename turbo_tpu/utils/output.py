@@ -75,8 +75,14 @@ def print_mzn_statistics(stats: MznStats, r, config=None):
     """Emit the reference's statistics block (statistics.hpp:338-371)."""
     if not stats.enabled:
         return
+    def sec(x):
+        return f"{x:.6f}"
+
+    stats.stat("num_blocks", getattr(r, "num_blocks", 1))
     stats.stat("nodes", r.nodes)
     stats.stat("failures", r.fails)
+    stats.stat("variables", getattr(r, "variables", 0))
+    stats.stat("propagators", getattr(r, "propagators", 0))
     stats.stat("peakDepth", r.depth_max)
     stats.stat("initTime", getattr(r, "init_time", 0.0))
     stats.stat("solveTime", r.solve_time)
@@ -84,9 +90,29 @@ def print_mzn_statistics(stats: MznStats, r, config=None):
     stats.stat("eps_num_subproblems", r.eps_num_subproblems)
     stats.stat("eps_solved_subproblems", r.eps_solved_subproblems)
     stats.stat("eps_skipped_subproblems", r.eps_skipped_subproblems)
+    stats.stat("num_blocks_done", getattr(r, "num_blocks_done", 0))
     stats.stat("fixpoint_iterations", r.fixpoint_iterations)
     stats.stat("num_deductions", int(r.num_deductions))
+    # Timing statistics (statistics.hpp:355-371; block-averaged).
+    stats.stat("cumulative_time_block_sec",
+               sec(getattr(r, "cumulative_time_block_sec", 0.0)))
+    stats.stat("deductions_per_block_second",
+               sec(getattr(r, "deductions_per_block_second", 0.0)))
+    nb = max(getattr(r, "num_blocks", 1), 1)
+    stats.stat("solve_time", sec(r.solve_time / nb))
+    stats.stat("search_time", sec(getattr(r, "search_time", 0.0)))
+    stats.stat("fixpoint_time", sec(getattr(r, "fixpoint_time", 0.0)))
+    stats.stat("transfer_cpu2gpu_time",
+               sec(getattr(r, "transfer_cpu2gpu_time", 0.0)))
+    stats.stat("transfer_gpu2cpu_time",
+               sec(getattr(r, "transfer_gpu2cpu_time", 0.0)))
+    stats.stat("select_fp_functions_time",
+               sec(getattr(r, "select_fp_functions_time", 0.0)))
+    stats.stat("wait_cpu_time", sec(getattr(r, "wait_cpu_time", 0.0)))
+    stats.stat("dive_time", sec(getattr(r, "dive_time", 0.0)))
     stats.stat("best_obj_time", round(getattr(r, "best_obj_time", 0.0), 3))
+    stats.stat("first_block_idle_time",
+               sec(getattr(r, "first_block_idle_time", 0.0)))
     if r.objective is not None:
         stats.stat("objective", r.objective)
     stats.end()
