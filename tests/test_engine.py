@@ -391,3 +391,63 @@ def test_phase_timers_attribution():
     assert t.dive_steps == 5 * 4  # one DIVE lane per chunk x chunk steps
     assert t.act_steps == 15 * 4
     assert t.first_idle == 0.0
+
+
+def test_rebalance_ranges_unit(bench_dir):
+    """Host-side EPS redistribution: a dry shard steals the upper half
+    of the richest shard's remaining range and reseeds its lanes from
+    the root store; ranges stay disjoint."""
+    from turbo_tpu.parallel.mesh import ShardedSolver, rebalance_ranges
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / "sudoku_opt3.fzn")))
+    s = ShardedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=8,
+                                        max_depth=64))
+    D, S = 4, s.n_shards
+    st = jax.tree.map(lambda x: np.array(x), jax.device_get(s.init_state()))
+    per = s.num_sub_total // S
+    # Make shard 0 dry: all IDLE, counter at its limit.
+    st.phase[0:D] = 2
+    st.next_sub[0:D] = per
+    st.subp[0:D] = per - 1
+    # Mutate its stores so the reseed is observable.
+    st.lb[0:D] = 99
+    new, moves = rebalance_ranges(st, D, S, s.plan.lb0, s.plan.ub0)
+    assert moves == 1
+    # Donor (any other shard; all have `per - D` remaining) gave its
+    # upper half; receiver lanes resume diving there.
+    rec_next = int(new.next_sub[0])
+    rec_lim = int(new.sub_limit[0])
+    assert rec_lim - int(new.subp[0]) <= per  # inside some shard's old range
+    assert (new.phase[0:D] == 0).all()        # DIVE
+    assert (new.depth[0:D] == 0).all()
+    assert (new.lb[0:D] == s.plan.lb0[None, :]).all()
+    assert (new.remaining[0:D] == s.solver.k).all()
+    assert rec_next == int(new.subp[D - 1]) + 1
+    # Donor's limit shrank to the receiver's base.
+    donor = None
+    for d in range(1, S):
+        if int(new.sub_limit[d * D]) != int(st.sub_limit[d * D]):
+            donor = d
+    assert donor is not None
+    assert int(new.sub_limit[donor * D]) == int(new.subp[0])
+    # Disjoint: donor's new range ends where the receiver's begins, and
+    # the receiver's range ends at the donor's old limit.
+    assert rec_lim == int(st.sub_limit[donor * D])
+    # No work when every shard is dry.
+    st2 = jax.tree.map(lambda x: np.array(x), jax.device_get(s.init_state()))
+    st2.phase[:] = 2
+    st2.next_sub[:] = np.repeat(
+        [(i + 1) * per for i in range(S)], D).astype(np.int32)
+    _, moves2 = rebalance_ranges(st2, D, S, s.plan.lb0, s.plan.ub0)
+    assert moves2 == 0
+
+
+def test_sharded_solve_with_redistribution(bench_dir):
+    """End-to-end: redistribution preserves correctness and
+    exhaustiveness on a golden instance."""
+    from turbo_tpu.parallel.mesh import ShardedSolver
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / "sudoku_opt3.fzn")))
+    s = ShardedSolver(tnf, EngineConfig(num_dives=2, subproblems_power=7,
+                                        max_depth=64, fp_max_iters=16))
+    r = s.solve(timeout_s=120.0)
+    assert r.status == "optimal" and r.objective == -2
+    assert r.eps_redistributions >= 0

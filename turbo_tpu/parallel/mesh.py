@@ -31,6 +31,84 @@ from ..solver.engine import IDLE, BatchedSolver, EngineConfig, SearchState
 from ..solver.result import EngineResult
 
 
+def rebalance_ranges(st, D: int, n_shards: int, lb0: np.ndarray,
+                     ub0: np.ndarray):
+    """Host-side EPS work redistribution across shards (pure numpy).
+
+    The reference's single GPU shares one grid-atomic `next_subproblem`
+    counter (barebones:877-884); across TPU shards we use static
+    per-shard ranges instead (no cross-chip atomics), which can leave a
+    shard idle while others still hold work. This is the host-side
+    subproblem re-exchange from SURVEY.md §2c's TPU mapping: when a
+    shard is dry (all lanes IDLE, range exhausted), it steals the upper
+    half of the richest shard's remaining range and reseeds its lanes
+    from the root store. Only state *values* change (never shapes), so
+    no recompilation is ever triggered.
+
+    `st` is a device_get'd SearchState (numpy leaves, global layout:
+    shard s owns rows [s*D, (s+1)*D)). Returns (new_state, moves).
+    """
+    phase = st.phase.copy()
+    subp = st.subp.copy()
+    next_sub = st.next_sub.copy()
+    sub_limit = st.sub_limit.copy()
+    depth = st.depth.copy()
+    strat = st.strat.copy()
+    snap_strat = st.snap_strat.copy()
+    remaining = st.remaining.copy()
+    lb = st.lb.copy()
+    ub = st.ub.copy()
+    root_lb = st.root_lb.copy()
+    root_ub = st.root_ub.copy()
+
+    def shard_next(s):
+        return int(next_sub[s * D])
+
+    def shard_limit(s):
+        return int(sub_limit[s * D])
+
+    moves = 0
+    for s in range(n_shards):
+        sl = slice(s * D, (s + 1) * D)
+        if not (phase[sl] == IDLE).all():
+            continue
+        if shard_limit(s) - shard_next(s) > 0:
+            continue  # not dry (can't normally happen)
+        # Donor: the shard with the largest remaining unexplored range.
+        rems = [(shard_limit(d) - shard_next(d), d) for d in range(n_shards)
+                if d != s]
+        rem, donor = max(rems, default=(0, -1))
+        give = rem // 2
+        if give < 1:
+            continue
+        dsl = slice(donor * D, (donor + 1) * D)
+        limit_d = shard_limit(donor)
+        mid = limit_d - give
+        sub_limit[dsl] = mid          # donor keeps [next_d, mid)
+        # Receiver: lanes take [mid, limit_d) exactly like init_state.
+        lane_sub = mid + np.arange(D, dtype=np.int32)
+        subp[sl] = lane_sub
+        phase[sl] = np.where(lane_sub < limit_d, 0, IDLE)  # DIVE=0
+        next_sub[sl] = min(mid + D, limit_d)
+        sub_limit[sl] = limit_d
+        depth[sl] = 0
+        strat[sl] = 0
+        snap_strat[sl] = 0
+        remaining[sl] = st.kpow[sl]
+        lb[sl] = lb0[None, :]
+        ub[sl] = ub0[None, :]
+        root_lb[sl] = lb0[None, :]
+        root_ub[sl] = ub0[None, :]
+        moves += 1
+    if not moves:
+        return st, 0
+    return st._replace(
+        phase=phase, subp=subp, next_sub=next_sub, sub_limit=sub_limit,
+        depth=depth, strat=strat, snap_strat=snap_strat,
+        remaining=remaining, lb=lb, ub=ub, root_lb=root_lb,
+        root_ub=root_ub), moves
+
+
 class ShardedSolver:
     """BatchedSolver spread over a 1-D 'dives' mesh of devices."""
 
@@ -106,6 +184,9 @@ class ShardedSolver:
         first_call = True
         best_seen = None
         best_obj_time = 0.0
+        redistributions = 0
+        D = self.solver.cfg.num_dives
+        sharding = NamedSharding(self.mesh, P("dives"))
         while True:
             td = time.monotonic()
             st = step_n(st)
@@ -136,6 +217,24 @@ class ShardedSolver:
             if bbm < (best_seen if best_seen is not None else 1 << 40):
                 best_seen = bbm
                 best_obj_time = time.monotonic() - t0
+            # Host-side EPS re-exchange: revive dry shards from the
+            # richest shard's remaining range (SURVEY.md §2c DCN refill).
+            if self.n_shards > 1:
+                dry = [bool((phase[s * D:(s + 1) * D] == IDLE).all())
+                       for s in range(self.n_shards)]
+                if any(dry) and not all(dry):
+                    ns, slim = jax.device_get((st.next_sub, st.sub_limit))
+                    if any(int(slim[s * D]) - int(ns[s * D]) > 1
+                           for s in range(self.n_shards)):
+                        st_np = jax.device_get(st)
+                        st_np, moves = rebalance_ranges(
+                            st_np, D, self.n_shards,
+                            self.plan.lb0, self.plan.ub0)
+                        if moves:
+                            redistributions += moves
+                            st = jax.tree.map(
+                                lambda x: jax.device_put(x, sharding), st_np)
+                            phase = st_np.phase
             if (phase == IDLE).all():
                 break
             if not self.opt and sols.sum() >= stop_after_n_solutions > 0:
@@ -151,6 +250,7 @@ class ShardedSolver:
         res = EngineResult.from_state(self, st, stopped,
                                        time.monotonic() - t0)
         res.best_obj_time = best_obj_time
+        res.eps_redistributions = redistributions
         timers.fill_result(res, res.solve_time)
         return res
 

@@ -31,6 +31,7 @@ class EngineResult:
     eps_num_subproblems: int = 0
     eps_solved_subproblems: int = 0
     eps_skipped_subproblems: int = 0
+    eps_redistributions: int = 0  # host-side cross-shard range steals
     exhaustive: bool = True
     solve_time: float = 0.0
     best_obj_time: float = 0.0

@@ -90,6 +90,7 @@ def print_mzn_statistics(stats: MznStats, r, config=None):
     stats.stat("eps_num_subproblems", r.eps_num_subproblems)
     stats.stat("eps_solved_subproblems", r.eps_solved_subproblems)
     stats.stat("eps_skipped_subproblems", r.eps_skipped_subproblems)
+    stats.stat("eps_redistributions", getattr(r, "eps_redistributions", 0))
     stats.stat("num_blocks_done", getattr(r, "num_blocks_done", 0))
     stats.stat("fixpoint_iterations", r.fixpoint_iterations)
     stats.stat("num_deductions", int(r.num_deductions))
