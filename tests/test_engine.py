@@ -133,8 +133,11 @@ def test_jax_propagation_matches_numpy():
             # The plan drops root-entailed props, so the device fixpoint
             # can only differ on vars those props would have pruned;
             # both must agree on all vars of live propagators.
-            np.testing.assert_array_equal(gl, nl, err_msg=f"dive {d} lb")
-            np.testing.assert_array_equal(gu, nu, err_msg=f"dive {d} ub")
+            kept = ~plan.dropped  # store-compacted vars are inert
+            np.testing.assert_array_equal(gl[kept], nl[kept],
+                                          err_msg=f"dive {d} lb")
+            np.testing.assert_array_equal(gu[kept], nu[kept],
+                                          err_msg=f"dive {d} ub")
 
 
 def test_sharded_matches_single(bench_dir):
@@ -255,8 +258,9 @@ def test_jax_element_member_kernels_match_numpy():
         bot_jx = (jl[d] > ju[d]).any()
         assert bot_np == bot_jx, f"dive {d}"
         if not bot_np:
-            np.testing.assert_array_equal(jl[d][plan.perm], nl)
-            np.testing.assert_array_equal(ju[d][plan.perm], nu)
+            kept = ~plan.dropped  # store-compacted vars are inert
+            np.testing.assert_array_equal(jl[d][plan.perm][kept], nl[kept])
+            np.testing.assert_array_equal(ju[d][plan.perm][kept], nu[kept])
 
 
 def test_element_engine_end_to_end():
@@ -345,8 +349,9 @@ def test_jax_linear_kernel_matches_numpy():
         bot_jx = (jl[d] > ju[d]).any()
         assert bot_np == bot_jx, f"dive {d}"
         if not bot_np:
-            np.testing.assert_array_equal(jl[d][plan.perm], nl)
-            np.testing.assert_array_equal(ju[d][plan.perm], nu)
+            kept = ~plan.dropped  # store-compacted vars are inert
+            np.testing.assert_array_equal(jl[d][plan.perm][kept], nl[kept])
+            np.testing.assert_array_equal(ju[d][plan.perm][kept], nu[kept])
 
 
 def test_phase_timers(bench_dir):

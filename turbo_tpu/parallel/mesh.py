@@ -212,7 +212,7 @@ class ShardedSolver:
                     self._last_best = bb
                     bbs, blb = jax.device_get((st.best_bound, st.best_lb))
                     d = int(np.argmin(bbs))
-                    on_improve(blb[d][self.plan.perm])
+                    on_improve(self.plan.store_to_tnf(blb[d]))
             bbm = int(jax.device_get(st.best_bound.min()))
             if bbm < (best_seen if best_seen is not None else 1 << 40):
                 best_seen = bbm

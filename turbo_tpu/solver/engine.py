@@ -553,7 +553,7 @@ class BatchedSolver:
                     bbs, blb = jax.device_get((st.best_bound, st.best_lb))
                     import numpy as _np
                     d = int(_np.argmin(bbs))
-                    on_improve(blb[d][self.plan.perm])
+                    on_improve(self.plan.store_to_tnf(blb[d]))
             bbm = int(jax.device_get(st.best_bound.min()))
             if bbm < (best_seen if best_seen is not None else 1 << 40):
                 best_seen = bbm

@@ -80,6 +80,14 @@ class Plan:
     root_unsat: bool
     root_entailed: bool
     num_real_props: int = 0
+    # Useless-variable compaction (Simplifier parity,
+    # common_solving.hpp:520-585 eliminate_useless_variables):
+    # root-singleton vars referenced by no live propagator are dropped
+    # from the device store entirely; `perm` maps them to the inert
+    # spill slot and their values are restored host-side from the root.
+    dropped: Optional[np.ndarray] = None   # (Vr,) bool
+    fixed_lb: Optional[np.ndarray] = None  # (Vr,) root store (TNF ids)
+    fixed_ub: Optional[np.ndarray] = None
     # Native element constraints (padded): values[idx-1] == res.
     e_idx: Optional[np.ndarray] = None   # (E,)
     e_res: Optional[np.ndarray] = None   # (E,)
@@ -98,6 +106,20 @@ class Plan:
     # Native linear constraints, bucketed by term count: list of
     # (b (C,), op (C,), rhs (C,), coef (C,K), var (C,K)).
     lin_buckets: List[tuple] = dataclasses.field(default_factory=list)
+
+    def store_to_tnf(self, row_lb: np.ndarray,
+                     row_ub: Optional[np.ndarray] = None):
+        """Map a permuted device-store row back to TNF variable ids,
+        restoring dropped (store-compacted) variables from the root."""
+        out_lb = np.asarray(row_lb)[self.perm].astype(np.int64)
+        if self.dropped is not None and self.dropped.any():
+            out_lb[self.dropped] = self.fixed_lb[self.dropped]
+        if row_ub is None:
+            return out_lb
+        out_ub = np.asarray(row_ub)[self.perm].astype(np.int64)
+        if self.dropped is not None and self.dropped.any():
+            out_ub[self.dropped] = self.fixed_ub[self.dropped]
+        return out_lb, out_ub
 
     @property
     def E(self):
@@ -230,7 +252,15 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
     order = np.lexsort((act_ids, act_K))
     act_sorted = act_ids[order]
     act_K_sorted = act_K[order]
-    sing_ids = np.nonzero(~active)[0]
+    # Useless-variable compaction: singletons referenced by no live
+    # propagator never influence propagation or failure detection, so
+    # they are dropped from the device store (values restored from the
+    # root at output time). The objective is always kept (the engine
+    # reads lb[:, obj] even when it is root-fixed).
+    dropped = (~active) & (deg == 0)
+    if tnf.obj_var >= 0:
+        dropped[tnf.obj_var] = False
+    sing_ids = np.nonzero(~active & ~dropped)[0]
 
     # Padded layout: per-K bucket row ranges (padded counts), then
     # singleton tail, then padding slots; the last slot is the dummy var.
@@ -248,9 +278,10 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
         pos += padded
         i = j
     n_active = pos
-    V = quantize(n_active + len(sing_ids) + 2, min_gran=128)
+    V = quantize(n_active + len(sing_ids) + 3, min_gran=128)
     dummy = V - 1    # fixed [0,0]
     dummy1 = V - 2   # fixed [1,1] (reified-true / nonzero-divisor slot)
+    spill = V - 3    # inert slot shared by all dropped vars
 
     # perm: real tnf id -> permuted id; inv_perm: permuted -> tnf id
     perm = np.full(Vr, -1, dtype=np.int64)
@@ -264,9 +295,10 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
     perm[sing_ids] = sing_start + np.arange(len(sing_ids))
     lb_p[sing_start:sing_start + len(sing_ids)] = lb[sing_ids]
     ub_p[sing_start:sing_start + len(sing_ids)] = ub[sing_ids]
+    perm[np.nonzero(dropped)[0]] = spill
     lb_p[dummy1] = ub_p[dummy1] = 1
     inv_perm = np.full(V, -1, dtype=np.int64)
-    inv_perm[perm] = np.arange(Vr)
+    inv_perm[perm[~dropped]] = np.nonzero(~dropped)[0]
 
     # Groups: all seven ops, each padded to a quantized size with dummy
     # props (x=y=z=dummy var, trivially entailed ADD-style rows).
@@ -479,6 +511,8 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
                 root_unsat=root_unsat, root_entailed=root_entailed,
                 num_real_props=(num_real_props + len(keep_elems)
                                 + len(keep_members) + len(keep_lins)),
+                dropped=dropped, fixed_lb=lb.astype(np.int64),
+                fixed_ub=ub.astype(np.int64),
                 e_idx=e_idx, e_res=e_res, e_len=e_len, e_tab=e_tab,
                 m_x=m_x, m_b=m_b, m_base=m_base, m_top=m_top, m_cnt=m_cnt,
                 m_next_ge=m_next_ge, m_prev_le=m_prev_le,

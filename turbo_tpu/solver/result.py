@@ -88,9 +88,8 @@ class EngineResult:
             d = int(np.argmin(cand))
         else:
             d = int(np.argmax(has_best))
-        # Permuted -> TNF id space (perm maps tnf id -> permuted id).
-        store_lb = best_lb[d][plan.perm].astype(np.int64)
-        store_ub = best_ub[d][plan.perm].astype(np.int64)
+        # Permuted -> TNF id space, restoring store-compacted vars.
+        store_lb, store_ub = plan.store_to_tnf(best_lb[d], best_ub[d])
         res.best_lb, res.best_ub = store_lb, store_ub
         if solver.opt:
             if tnf.is_max:
