@@ -34,15 +34,38 @@ def log(msg):
     print(f"% {msg}", file=sys.stderr, flush=True)
 
 
+INIT_TIMEOUT_S = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+
+
+def _init_devices():
+    """Initialize the JAX backend with a watchdog: the axon TPU tunnel
+    can hang indefinitely on init; rather than produce no bench line at
+    all, fall back to the CPU platform (clearly flagged)."""
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=INIT_TIMEOUT_S, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        log(f"device init probe failed ({type(e).__name__}); "
+            "falling back to CPU platform")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        return jax, "cpu-fallback"
+    import jax
+    return jax, "default"
+
+
 def main():
     t_start = time.monotonic()
-    import jax
+    jax, backend_mode = _init_devices()
 
     from turbo_tpu.frontend.fzn import parse_fzn
     from turbo_tpu.compile.model import compile_model
     from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()} ({backend_mode})")
     t0 = time.monotonic()
     tnf = compile_model(parse_fzn(INSTANCE))
     log(f"compiled model: V={tnf.num_vars} P={tnf.num_props} "
@@ -92,12 +115,18 @@ def main():
                 vs = nodes_per_s / float(base["value"])
         except Exception:
             pass
-    print(json.dumps({
-        "metric": f"wordpress7_500 nodes/s ({DIVES} dives, 1 chip)",
+    inst_name = os.path.splitext(os.path.basename(INSTANCE))[0]
+    inst_name = inst_name.replace("example_", "")
+    out = {
+        "metric": f"{inst_name} nodes/s ({DIVES} dives, 1 chip)",
         "value": round(nodes_per_s, 1),
         "unit": "nodes/s",
         "vs_baseline": round(vs, 3),
-    }), flush=True)
+    }
+    if backend_mode != "default":
+        out["note"] = ("CPU-platform fallback (TPU tunnel unavailable); "
+                       "not comparable to TPU baseline")
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
