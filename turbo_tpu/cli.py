@@ -67,16 +67,34 @@ def run(cfg: Configuration) -> int:
         print_final_separator(r.status, tnf.obj_var >= 0,
                               exhaustive=r.stats.exhaustive)
         if cfg.print_statistics:
-            stats.stat("nodes", stats_obj.nodes)
-            stats.stat("failures", stats_obj.fails)
-            stats.stat("peakDepth", stats_obj.depth_max)
-            stats.stat("solveTime", f"{stats_obj.solve_time:.3f}")
-            stats.stat("num_solutions", stats_obj.solutions)
-            stats.stat("fixpoint_iterations", stats_obj.fixpoint_iterations)
-            stats.stat("num_deductions", stats_obj.num_deductions)
-            if r.objective is not None:
-                stats.stat("objective", r.objective)
-            stats.end()
+            # Adapt the oracle result to the shared stat block (the
+            # reference's cpu arch prints the same keys as the GPU
+            # archs, statistics.hpp:338-371; num_blocks=1).
+            import types
+
+            s = stats_obj
+            adapter = types.SimpleNamespace(
+                nodes=s.nodes, fails=s.fails, depth_max=s.depth_max,
+                init_time=round(init_time, 3),
+                solve_time=s.solve_time, solutions=s.solutions,
+                eps_num_subproblems=1, eps_solved_subproblems=1,
+                eps_skipped_subproblems=0,
+                fixpoint_iterations=s.fixpoint_iterations,
+                num_deductions=s.num_deductions,
+                num_blocks=1, num_blocks_done=int(s.exhaustive),
+                variables=tnf.num_vars, propagators=tnf.num_props,
+                search_time=s.search_time, fixpoint_time=s.fixpoint_time,
+                dive_time=0.0, transfer_cpu2gpu_time=0.0,
+                transfer_gpu2cpu_time=0.0,
+                select_fp_functions_time=s.select_fp_functions_time,
+                wait_cpu_time=0.0, first_block_idle_time=s.solve_time,
+                cumulative_time_block_sec=s.solve_time,
+                deductions_per_block_second=(
+                    s.num_deductions / s.solve_time
+                    if s.solve_time > 0 else 0.0),
+                best_obj_time=s.best_obj_time,
+                objective=r.objective)
+            print_mzn_statistics(stats, adapter)
         return 0
 
     # Batched engine (single device or sharded mesh).

@@ -347,6 +347,12 @@ class SolveStats:
     num_deductions: int = 0
     exhaustive: bool = True
     solve_time: float = 0.0
+    # Per-phase timers (cpu arch: directly bracketed host clocks,
+    # cpu_solving.hpp / statistics.hpp Timer parity).
+    fixpoint_time: float = 0.0
+    search_time: float = 0.0
+    select_fp_functions_time: float = 0.0
+    best_obj_time: float = 0.0
 
 
 @dataclasses.dataclass
@@ -444,7 +450,9 @@ def solve(tnf: Tnf, timeout_s: float = 1e18, stop_after_n_solutions: int = 1,
         if opt and best_bound <= INF:
             # BAB: only accept strictly better solutions.
             ub[tnf.obj_var] = min(ub[tnf.obj_var], best_bound - 1)
+        tfp = time.monotonic()
         it, deds, bot = table.propagate(lb, ub)
+        stats.fixpoint_time += time.monotonic() - tfp
         stats.nodes += 1
         stats.fixpoint_iterations += it
         stats.num_deductions += deds
@@ -457,6 +465,7 @@ def solve(tnf: Tnf, timeout_s: float = 1e18, stop_after_n_solutions: int = 1,
             best_lb, best_ub = lb.copy(), ub.copy()
             if opt:
                 best_bound = int(lb[tnf.obj_var])
+                stats.best_obj_time = time.monotonic() - t0
                 if print_intermediate:
                     print_intermediate(best_lb, best_ub)
             else:
@@ -466,7 +475,9 @@ def solve(tnf: Tnf, timeout_s: float = 1e18, stop_after_n_solutions: int = 1,
                     stats.exhaustive = False
                     break
             continue
+        tsel = time.monotonic()
         sel = select_var(tnf.strategies, lb, ub)
+        stats.select_fp_functions_time += time.monotonic() - tsel
         if sel is None:
             # Unsplittable (infinite domains remain): not exhaustive.
             stats.exhaustive = False
@@ -482,6 +493,8 @@ def solve(tnf: Tnf, timeout_s: float = 1e18, stop_after_n_solutions: int = 1,
         stack.append((lb, ub, depth + 1))
 
     stats.solve_time = time.monotonic() - t0
+    stats.search_time = max(
+        stats.solve_time - stats.fixpoint_time, 0.0)
     if stats.solutions == 0:
         status = "unsat" if stats.exhaustive else "unknown"
         return SolveResult(status, None, None, None, stats)
