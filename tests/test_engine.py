@@ -456,3 +456,27 @@ def test_sharded_solve_with_redistribution(bench_dir):
     r = s.solve(timeout_s=120.0)
     assert r.status == "optimal" and r.objective == -2
     assert r.eps_redistributions >= 0
+
+
+def test_sharded_checkpoint_resume(tmp_path, bench_dir):
+    """Cross-run checkpoint/resume through the sharded (multi) arch:
+    the global sharded state round-trips with mesh sharding restored."""
+    from turbo_tpu.parallel.mesh import ShardedSolver
+    from turbo_tpu.solver.checkpoint import load_state, save_state
+
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / "sudoku_opt4.fzn")))
+    s = ShardedSolver(tnf, EngineConfig(num_dives=2, subproblems_power=6,
+                                        max_depth=64))
+    path = str(tmp_path / "ckpt.pkl")
+    st = s.init_state()
+    step_n = s.make_step_n(8)
+    st = step_n(st)
+    save_state(s.solver, st, path, num_shards=s.n_shards)
+    # Shard-count mismatch is refused.
+    assert load_state(s.solver, path, num_shards=s.n_shards + 1) is None
+    st2 = load_state(s.solver, path, num_shards=s.n_shards)
+    assert st2 is not None
+    np.testing.assert_array_equal(jax.device_get(st.nodes),
+                                  jax.device_get(st2.nodes))
+    r = s.solve(timeout_s=120, chunk=8, checkpoint_path=path)
+    assert r.status == "optimal" and r.objective == -16

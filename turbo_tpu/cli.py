@@ -118,7 +118,7 @@ def run(cfg: Configuration) -> int:
         def on_improve(best_lb_tnf):
             print_solution(tnf, best_lb_tnf)
     extra = {}
-    if cfg.checkpoint_path and cfg.arch != "multi":
+    if cfg.checkpoint_path:
         extra["checkpoint_path"] = cfg.checkpoint_path
     r = solver.solve(timeout_s=timeout_s,
                      stop_after_n_solutions=cfg.stop_after_n_solutions,

@@ -167,7 +167,8 @@ class ShardedSolver:
     def solve(self, timeout_s: float = 1e18, chunk: int = 16,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
               node_limit: int = 0, verbose: bool = False,
-              on_improve=None) -> EngineResult:
+              on_improve=None, checkpoint_path: str = "",
+              checkpoint_every_s: float = 60.0) -> EngineResult:
         from ..solver.timers import PhaseTimers
         t0 = time.monotonic()
         if self.plan.root_unsat:
@@ -178,6 +179,15 @@ class ShardedSolver:
         st = self.init_state()
         jax.block_until_ready(st.lb)
         timers.transfer_c2g = time.monotonic() - tt
+        if checkpoint_path:
+            from ..solver.checkpoint import load_state
+            restored = load_state(
+                self.solver, checkpoint_path, num_shards=self.n_shards,
+                device_put=lambda x: jax.device_put(
+                    x, NamedSharding(self.mesh, P("dives"))))
+            if restored is not None:
+                st = restored
+        last_ckpt = time.monotonic()
         step_n = self.make_step_n(chunk)
         steps = 0
         stopped = False
@@ -246,6 +256,16 @@ class ShardedSolver:
             if node_limit and int(jax.device_get(st.nodes.sum())) >= node_limit:
                 stopped = True
                 break
+            if checkpoint_path and \
+                    time.monotonic() - last_ckpt > checkpoint_every_s:
+                from ..solver.checkpoint import save_state
+                save_state(self.solver, st, checkpoint_path,
+                           num_shards=self.n_shards)
+                last_ckpt = time.monotonic()
+        if checkpoint_path and stopped:
+            from ..solver.checkpoint import save_state
+            save_state(self.solver, st, checkpoint_path,
+                       num_shards=self.n_shards)
         # EngineResult reduction works on the concatenated global state.
         res = EngineResult.from_state(self, st, stopped,
                                        time.monotonic() - t0)
