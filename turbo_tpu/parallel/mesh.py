@@ -210,20 +210,21 @@ class ShardedSolver:
                 first_call = False
                 t0 = time.monotonic()
             tg = time.monotonic()
-            phase, sols, fpit = jax.device_get((st.phase, st.sols, st.fpit))
+            # One transfer per chunk (relay round trips have a ~2ms floor).
+            phase, sols, fpit, bbs = jax.device_get(
+                (st.phase, st.sols, st.fpit, st.best_bound))
             timers.transfer_g2c += time.monotonic() - tg
             timers.record_chunk(device_dur, int(fpit.sum()), phase, chunk,
                                 time.monotonic() - t0, measured=not warmup)
+            bbm = int(bbs.min())
             if on_improve is not None:
-                bb = int(jax.device_get(st.best_bound.min()))
                 if not hasattr(self, "_last_best"):
                     self._last_best = 1 << 40
-                if bb < self._last_best:
-                    self._last_best = bb
-                    bbs, blb = jax.device_get((st.best_bound, st.best_lb))
+                if bbm < self._last_best:
+                    self._last_best = bbm
+                    blb = jax.device_get(st.best_lb)
                     d = int(np.argmin(bbs))
                     on_improve(self.plan.store_to_tnf(blb[d]))
-            bbm = int(jax.device_get(st.best_bound.min()))
             if bbm < (best_seen if best_seen is not None else 1 << 40):
                 best_seen = bbm
                 best_obj_time = time.monotonic() - t0

@@ -542,19 +542,20 @@ class BatchedSolver:
                 first_call = False
                 t0 = time.monotonic()
             tg = time.monotonic()
-            phase, sols, fpit = jax.device_get((st.phase, st.sols, st.fpit))
+            # One transfer per chunk: the relay has a ~2ms floor per
+            # device round trip, so fetch all host-loop inputs at once.
+            phase, sols, fpit, bbs = jax.device_get(
+                (st.phase, st.sols, st.fpit, st.best_bound))
             timers.transfer_g2c += time.monotonic() - tg
             timers.record_chunk(device_dur, int(fpit.sum()), phase, chunk,
                                 time.monotonic() - t0, measured=not warmup)
-            if on_improve is not None:
-                bb = int(jax.device_get(st.best_bound.min()))
-                if bb < last_best:
-                    last_best = bb
-                    bbs, blb = jax.device_get((st.best_bound, st.best_lb))
-                    import numpy as _np
-                    d = int(_np.argmin(bbs))
-                    on_improve(self.plan.store_to_tnf(blb[d]))
-            bbm = int(jax.device_get(st.best_bound.min()))
+            bbm = int(bbs.min())
+            if on_improve is not None and bbm < last_best:
+                last_best = bbm
+                import numpy as _np
+                blb = jax.device_get(st.best_lb)
+                d = int(_np.argmin(bbs))
+                on_improve(self.plan.store_to_tnf(blb[d]))
             if bbm < (best_seen if best_seen is not None else 1 << 40):
                 best_seen = bbm
                 best_obj_time = time.monotonic() - t0
