@@ -79,7 +79,8 @@ def parse_xcsp3(path: str) -> Model:
     root = tree.getroot()
     b = _Builder()
 
-    for v in root.find("variables") or []:
+    variables = root.find("variables")
+    for v in (variables if variables is not None else []):
         if v.tag == "array":
             size = v.get("size", "[1]")
             m = re.fullmatch(r"\[(\d+)\]", size)
@@ -131,6 +132,23 @@ def parse_xcsp3(path: str) -> Model:
 def _lower_constraint(b: _Builder, c):
     if c.tag == "cumulative":
         _lower_cumulative(b, c)
+    elif c.tag == "group":
+        _lower_group(b, c)
+    elif c.tag == "intension":
+        _lower_intension(b, (c.text or "").strip())
+    elif c.tag == "extension":
+        _lower_extension(b, c)
+    elif c.tag == "element":
+        _lower_element(b, c)
+    elif c.tag in ("minimum", "maximum"):
+        _lower_minmax(b, c)
+    elif c.tag == "instantiation":
+        vs = b.resolve_list((c.find("list").text or "").strip())
+        vals = _parse_values(c.find("values").text or "")
+        if len(vs) != len(vals):
+            raise Xcsp3Error("instantiation arity mismatch")
+        for v, k in zip(vs, vals):
+            b.constraints.append(Constraint("int_eq", [v, k]))
     elif c.tag == "allDifferent":
         vs = b.resolve_list((c.text or "").strip())
         for i in range(len(vs)):
@@ -154,6 +172,297 @@ def _lower_constraint(b: _Builder, c):
         b.constraints.append(Constraint(name, [coeffs, vs, k]))
     else:
         raise Xcsp3Error(f"unsupported constraint <{c.tag}>")
+
+
+# -- intension expressions (XCSP3-core functional syntax) -------------
+
+_REL = {"eq": "int_eq", "ne": "int_ne", "le": "int_le", "lt": "int_lt"}
+_REL_REIF = {"eq": "int_eq_reif", "ne": "int_ne_reif",
+             "le": "int_le_reif", "lt": "int_lt_reif"}
+
+
+def _parse_prefix(text: str):
+    """'op(a,op2(b,c),d)' -> ('op', [...]) tree; leaves are str/int."""
+    text = text.strip()
+    m = re.fullmatch(r"(\w+)\((.*)\)", text, re.S)
+    if not m:
+        return int(text) if re.fullmatch(r"-?\d+", text) else text
+    op, body = m.group(1), m.group(2)
+    args, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur or not args:
+        args.append("".join(cur))
+    return op, [_parse_prefix(a) for a in args]
+
+
+def _dom_of(b: _Builder, t) -> Tuple[int, int]:
+    if isinstance(t, int):
+        return t, t
+    for v in b.vars:
+        if v.name == t:
+            return v.lb, v.ub
+    raise Xcsp3Error(f"unknown variable {t!r}")
+
+
+def _expr_int(b: _Builder, e) -> Union[str, int]:
+    """Lower an arithmetic expression tree to a var name or int."""
+    if not isinstance(e, tuple):
+        return e
+    op, args = e
+    xs = [_expr_int(b, a) for a in args]
+    if op in ("add", "sub"):
+        coefs = [1] * len(xs) if op == "add" else [1, -1]
+        const = sum(c * x for c, x in zip(coefs, xs) if isinstance(x, int))
+        terms = [(c, x) for c, x in zip(coefs, xs) if not isinstance(x, int)]
+        lo = const + sum(min(c * l, c * u)
+                         for c, x in terms for l, u in [_dom_of(b, x)])
+        hi = const + sum(max(c * l, c * u)
+                         for c, x in terms for l, u in [_dom_of(b, x)])
+        r = b.new_aux(lo, hi)
+        b.constraints.append(Constraint(
+            "int_lin_eq", [[c for c, _ in terms] + [-1],
+                           [x for _, x in terms] + [r], -const]))
+        return r
+    if op in ("mul", "div", "mod", "min", "max"):
+        if len(xs) != 2:
+            # n-ary mul/min/max: fold left.
+            acc = xs[0]
+            for x in xs[1:]:
+                acc = _expr_int(b, (op, [acc, x]))
+            return acc
+        (l1, u1), (l2, u2) = _dom_of(b, xs[0]), _dom_of(b, xs[1])
+        if op == "mul":
+            cands = [l1 * l2, l1 * u2, u1 * l2, u1 * u2]
+            lo, hi = min(cands), max(cands)
+        elif op == "div":
+            cands = [l1, u1, -abs(l1), -abs(u1), abs(l1), abs(u1)]
+            lo, hi = min(cands + [0]), max(cands + [0])
+        elif op == "mod":
+            m = max(abs(l2), abs(u2))
+            lo, hi = -m, m
+        elif op == "min":
+            lo, hi = min(l1, l2), min(u1, u2)
+        else:
+            lo, hi = max(l1, l2), max(u1, u2)
+        r = b.new_aux(lo, hi)
+        name = {"mul": "int_times", "div": "int_div", "mod": "int_mod",
+                "min": "int_min", "max": "int_max"}[op]
+        b.constraints.append(Constraint(name, [xs[0], xs[1], r]))
+        return r
+    if op in ("abs", "neg", "sqr"):
+        (l1, u1) = _dom_of(b, xs[0])
+        if op == "abs":
+            r = b.new_aux(0, max(abs(l1), abs(u1)))
+            b.constraints.append(Constraint("int_abs", [xs[0], r]))
+            return r
+        if op == "neg":
+            return _expr_int(b, ("sub", [0, args[0]]))
+        return _expr_int(b, ("mul", [args[0], args[0]]))
+    if op == "dist":
+        return _expr_int(b, ("abs", [("sub", args)]))
+    if op in _REL or op in ("ge", "gt") or op in ("and", "or", "not",
+                                                  "iff", "imp", "xor"):
+        return _expr_bool(b, e)
+    raise Xcsp3Error(f"unsupported intension op {op!r}")
+
+
+def _expr_bool(b: _Builder, e) -> str:
+    """Lower a boolean expression tree to a 0/1 var."""
+    if not isinstance(e, tuple):
+        if isinstance(e, int):
+            return e
+        return e  # already a 0/1 variable reference
+    op, args = e
+    if op in ("ge", "gt"):
+        op = {"ge": "le", "gt": "lt"}[op]
+        args = [args[1], args[0]]
+    if op in _REL_REIF:
+        x, y = _expr_int(b, args[0]), _expr_int(b, args[1])
+        r = b.new_aux(0, 1, bool_=True)
+        b.constraints.append(Constraint(_REL_REIF[op], [x, y, r]))
+        return r
+    xs = [_expr_bool(b, a) for a in args]
+    r = b.new_aux(0, 1, bool_=True)
+    if op == "not":
+        b.constraints.append(Constraint("bool_not", [xs[0], r]))
+    elif op == "and":
+        if len(xs) == 2:
+            b.constraints.append(Constraint("bool_and", [xs[0], xs[1], r]))
+        else:
+            b.constraints.append(Constraint("array_bool_and", [xs, r]))
+    elif op == "or":
+        if len(xs) == 2:
+            b.constraints.append(Constraint("bool_or", [xs[0], xs[1], r]))
+        else:
+            b.constraints.append(Constraint("array_bool_or", [xs, r]))
+    elif op == "xor":
+        b.constraints.append(Constraint("bool_xor", [xs[0], xs[1], r]))
+    elif op == "iff":
+        b.constraints.append(Constraint("bool_eq_reif", [xs[0], xs[1], r]))
+    elif op == "imp":
+        b.constraints.append(Constraint("bool_le_reif", [xs[0], xs[1], r]))
+    else:
+        raise Xcsp3Error(f"unsupported boolean op {op!r}")
+    return r
+
+
+def _lower_intension(b: _Builder, text: str):
+    e = _parse_prefix(text)
+    if not isinstance(e, tuple):
+        raise Xcsp3Error(f"bad intension {text!r}")
+    op, args = e
+    if op in ("ge", "gt"):
+        op = {"ge": "le", "gt": "lt"}[op]
+        args = [args[1], args[0]]
+    if op in _REL and not any(
+            isinstance(a, tuple) and a[0] in ("and", "or", "not", "iff",
+                                              "imp", "xor") for a in args):
+        x, y = _expr_int(b, args[0]), _expr_int(b, args[1])
+        b.constraints.append(Constraint(_REL[op], [x, y]))
+        return
+    r = _expr_bool(b, e)
+    b.constraints.append(Constraint("int_eq", [r, 1]))
+
+
+def _lower_extension(b: _Builder, c):
+    """Table constraints. Supports: row-selector encoding through the
+    native element kernel — aux index i in 1..T with
+    array_int_element(i, column_j, x_j) per column (star '*' entries
+    skip their column). Conflicts: per forbidden tuple, at least one
+    column differs (bool_clause over ne_reif)."""
+    vs = b.resolve_list((c.find("list").text or "").strip())
+    sup = c.find("supports")
+    con = c.find("conflicts")
+    if sup is not None and (sup.text or "").strip():
+        tuples = _parse_tuples(sup.text)
+        if len(vs) == 1 and tuples and len(tuples[0]) == 1:
+            from .ast import SetLit
+            vals = [t[0] for t in tuples if t[0] != "*"]
+            b.constraints.append(Constraint(
+                "set_in", [vs[0], SetLit(tuple(sorted(set(vals))))]))
+            return
+        idx = b.new_aux(1, len(tuples))
+        for j, x in enumerate(vs):
+            col = [t[j] for t in tuples]
+            if any(v == "*" for v in col):
+                for ti, v in enumerate(col):
+                    if v == "*":
+                        continue
+                    bi = b.new_aux(0, 1, bool_=True)
+                    b.constraints.append(
+                        Constraint("int_eq_reif", [idx, ti + 1, bi]))
+                    bj = b.new_aux(0, 1, bool_=True)
+                    b.constraints.append(
+                        Constraint("int_eq_reif", [x, int(v), bj]))
+                    b.constraints.append(Constraint("bool_le", [bi, bj]))
+            else:
+                b.constraints.append(Constraint(
+                    "array_int_element", [idx, [int(v) for v in col], x]))
+    elif con is not None and (con.text or "").strip():
+        for t in _parse_tuples(con.text):
+            lits = []
+            for x, v in zip(vs, t):
+                if v == "*":
+                    continue
+                r = b.new_aux(0, 1, bool_=True)
+                b.constraints.append(
+                    Constraint("int_ne_reif", [x, int(v), r]))
+                lits.append(r)
+            b.constraints.append(Constraint("bool_clause", [lits, []]))
+
+
+def _parse_tuples(text: str) -> List[list]:
+    out = []
+    for m in re.finditer(r"\(([^)]*)\)", text):
+        out.append([tok if tok == "*" else int(tok)
+                    for tok in m.group(1).split(",")])
+    return out
+
+
+def _lower_element(b: _Builder, c):
+    vs = b.resolve_list((c.find("list").text or "").strip())
+    idx_el = c.find("index")
+    val_el = c.find("value")
+    val = (val_el.text or "").strip()
+    value = int(val) if re.fullmatch(r"-?\d+", val) else \
+        b.resolve_list(val)[0]
+    start = int(c.find("list").get("startIndex", "0"))
+    if idx_el is None:
+        raise Xcsp3Error("element without index unsupported")
+    i0 = b.resolve_list((idx_el.text or "").strip())[0]
+    # FlatZinc element is 1-based: shift the index by (1 - start).
+    shift = 1 - start
+    if shift:
+        lo, hi = _dom_of(b, i0)
+        i1 = b.new_aux(lo + shift, hi + shift)
+        b.constraints.append(Constraint(
+            "int_lin_eq", [[1, -1], [i0, i1], -shift]))
+    else:
+        i1 = i0
+    if all(re.fullmatch(r"-?\d+", v) for v in vs):
+        b.constraints.append(Constraint(
+            "array_int_element", [i1, [int(v) for v in vs], value]))
+    else:
+        b.constraints.append(Constraint(
+            "array_var_int_element", [i1, vs, value]))
+
+
+def _lower_minmax(b: _Builder, c):
+    vs = b.resolve_list((c.find("list").text or "").strip())
+    op, k = _parse_condition(c.find("condition").text)
+    fold = "int_min" if c.tag == "minimum" else "int_max"
+    acc = vs[0]
+    doms = [_dom_of(b, v) for v in vs]
+    lo = min(d[0] for d in doms)
+    hi = max(d[1] for d in doms)
+    for x in vs[1:]:
+        nxt = b.new_aux(lo, hi)
+        b.constraints.append(Constraint(fold, [acc, x, nxt]))
+        acc = nxt
+    name = {"le": "int_le", "eq": "int_eq", "ne": "int_ne",
+            "lt": "int_lt"}.get(op)
+    if name:
+        b.constraints.append(Constraint(name, [acc, k]))
+    elif op in ("ge", "gt"):
+        b.constraints.append(Constraint(
+            {"ge": "int_le", "gt": "int_lt"}[op], [k, acc]))
+    else:
+        raise Xcsp3Error(f"unsupported {c.tag} condition {op!r}")
+
+
+def _lower_group(b: _Builder, c):
+    """<group>: one constraint template with %0 %1 ... applied to each
+    <args> row."""
+    template = None
+    rows = []
+    for ch in c:
+        if ch.tag == "args":
+            rows.append((ch.text or "").strip())
+        else:
+            template = ch
+    if template is None:
+        raise Xcsp3Error("group without template")
+    for row in rows:
+        args = row.split()
+        inst = ET.fromstring(
+            _substitute_args(ET.tostring(template, encoding="unicode"), args))
+        _lower_constraint(b, inst)
+
+
+def _substitute_args(text: str, args: List[str]) -> str:
+    text = text.replace("%...", " ".join(args))
+    for i in range(len(args) - 1, -1, -1):
+        text = text.replace(f"%{i}", args[i])
+    return text
 
 
 def _parse_condition(text: str) -> Tuple[str, int]:
