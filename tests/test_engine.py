@@ -480,3 +480,71 @@ def test_sharded_checkpoint_resume(tmp_path, bench_dir):
                                   jax.device_get(st2.nodes))
     r = s.solve(timeout_s=120, chunk=8, checkpoint_path=path)
     assert r.status == "optimal" and r.objective == -16
+
+
+def test_hybrid_goldens(bench_dir):
+    """Hybrid arch (host search + batched device propagation) proves
+    the same optima as the engine (hybrid_dive_and_solve.hpp parity)."""
+    from turbo_tpu.solver.hybrid import HybridSolver
+    for name, expected in (("sudoku_opt3", -2), ("bug1", -10),
+                           ("sudoku_opt4", -16)):
+        tnf = compile_model(parse_fzn(
+            str(bench_dir / "test_data" / f"{name}.fzn")))
+        s = HybridSolver(tnf, EngineConfig(num_dives=4, subproblems_power=4,
+                                           max_depth=256, fp_max_iters=64))
+        r = s.solve(timeout_s=120.0)
+        assert r.status == "optimal", name
+        assert r.objective == expected, name
+        assert r.num_blocks == 4
+        assert r.fixpoint_time >= 0.0
+
+
+def test_hybrid_satisfaction_and_unsat(bench_dir):
+    from turbo_tpu.solver.hybrid import HybridSolver
+    tnf = compile_model(parse_fzn_text("""
+var 1..3: x; var 1..3: y;
+constraint int_ne(x, y);
+solve satisfy;
+"""))
+    r = HybridSolver(tnf, EngineConfig(num_dives=2, subproblems_power=2,
+                                       fp_max_iters=32)).solve(timeout_s=60)
+    assert r.status == "sat"
+    assert int(r.best_lb[0]) != int(r.best_lb[1])
+    tnf2 = compile_model(parse_fzn_text("""
+var 1..2: x; var 1..2: y; var 1..2: z;
+constraint int_ne(x, y);
+constraint int_ne(y, z);
+constraint int_ne(x, z);
+solve satisfy;
+"""))
+    r2 = HybridSolver(tnf2, EngineConfig(num_dives=2, subproblems_power=2,
+                                         fp_max_iters=32)).solve(timeout_s=60)
+    assert r2.status == "unsat"
+
+
+def test_hybrid_matches_oracle_on_random_models():
+    """Differential: random tiny optimization models, hybrid arch vs
+    oracle agree on the optimum (or both prove unsat)."""
+    from turbo_tpu.solver.hybrid import HybridSolver
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n = 4
+        lines = []
+        for i in range(n):
+            lines.append(f"var {rng.integers(-3, 1)}..{rng.integers(2, 6)}: x{i};")
+        for c in range(4):
+            coeffs = rng.integers(-3, 4, size=n)
+            k = int(rng.integers(-5, 15))
+            cs = ",".join(str(int(v)) for v in coeffs)
+            xs = ",".join(f"x{i}" for i in range(n))
+            lines.append(f"constraint int_lin_le([{cs}], [{xs}], {k});")
+        lines.append("constraint int_times(x0, x1, x2);")
+        lines.append(f"solve minimize x{int(rng.integers(0, n))};")
+        text = "\n".join(lines)
+        tnf = compile_model(parse_fzn_text(text))
+        ro = oracle_solve(tnf, timeout_s=30)
+        s = HybridSolver(tnf, EngineConfig(num_dives=3, subproblems_power=3,
+                                           max_depth=64, fp_max_iters=64))
+        rh = s.solve(timeout_s=60)
+        assert ro.status == rh.status, (trial, text, ro.status, rh.status)
+        assert ro.objective == rh.objective, (trial, text)

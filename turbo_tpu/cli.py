@@ -111,6 +111,10 @@ def run(cfg: Configuration) -> int:
         from .parallel.mesh import ShardedSolver
 
         solver = ShardedSolver(tnf, econf)
+    elif cfg.arch == "hybrid":
+        from .solver.hybrid import HybridSolver
+
+        solver = HybridSolver(tnf, econf)
     else:
         solver = BatchedSolver(tnf, econf)
     on_improve = None

@@ -1,0 +1,300 @@
+"""Hybrid architecture: host-owned search, device-batched propagation.
+
+TPU re-expression of the reference's hybrid dive-and-solve
+(hybrid_dive_and_solve.hpp:13-26): there, N CPU threads each own the
+search/backtracking of one "cube" and a paired persistent GPU block
+propagates that cube's store, synchronizing per node through atomic
+flag handshakes (hybrid:118-125,596-686). Here the host owns N cube
+searches in numpy and batches all cubes' current nodes into ONE device
+fixpoint call per round — the per-node handshake becomes a single
+(C, V) kernel launch, which is the TPU-idiomatic shape of the same
+design (and why the fully-on-device engine in engine.py is the default:
+one host<->device sync per node vs per chunk, exactly the trade the
+reference describes at barebones_dive_and_solve.hpp:18-30).
+
+Search state per cube: an explicit DFS stack of (store, depth, strat)
+snapshots (the SearchTree snapshot/restore model, hybrid:413,495), EPS
+bit-path diving with subtree skipping, and BAB bound sharing through a
+host incumbent (the CPU-side atomic interval of hybrid:694-724).
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ..core.ops import INF, NINF
+from ..compile.tnf import Tnf
+from .engine import EngineConfig
+from .plan import build_plan
+from .propagate_jax import PropagatorKernels
+from .result import EngineResult
+
+_VO = {"input_order": 0, "first_fail": 1, "anti_first_fail": 2,
+       "smallest": 3, "largest": 4}
+
+
+def _children(val_order: str, lo: int, hi: int):
+    mid = lo + (hi - lo) // 2
+    if val_order == "indomain_max":
+        return (hi, hi), (lo, hi - 1)
+    if val_order == "indomain_split":
+        return (lo, mid), (mid + 1, hi)
+    if val_order == "indomain_reverse_split":
+        return (mid + 1, hi), (lo, mid)
+    return (lo, lo), (lo + 1, hi)  # indomain_min
+
+
+class _Cube:
+    __slots__ = ("lb", "ub", "depth", "strat", "stack", "remaining",
+                 "subp", "active")
+
+    def __init__(self):
+        self.active = False
+        self.stack: List = []
+        self.remaining = 0
+        self.subp = -1
+        self.lb = self.ub = None
+        self.depth = 0
+        self.strat = 0
+
+
+class HybridSolver:
+    def __init__(self, tnf: Tnf, config: EngineConfig = EngineConfig()):
+        self.tnf = tnf
+        self.cfg = config
+        self.plan = build_plan(tnf)
+        self.kernels = PropagatorKernels(self.plan)
+        self.opt = self.plan.is_opt
+        C = config.num_dives
+        k = config.subproblems_power
+        if k <= 0:
+            total = max(1, config.subproblems_factor * C)
+            k = max(1, int(np.ceil(np.log2(total))))
+        self.k = min(k, 30)
+        self.num_sub_total = 1 << self.k
+        self._fp = jax.jit(lambda l, u: self.kernels.fixpoint(
+            l, u, config.fp_max_iters))
+        self._post = jax.jit(lambda l, u: (
+            self.kernels.is_bot(l, u), self.kernels.all_entailed(l, u)))
+
+    # -- host-side branching ------------------------------------------
+
+    def _select(self, lb: np.ndarray, ub: np.ndarray, strat: int):
+        """First strategy >= cursor with a splittable var; smallest
+        position tie-break (mirrors engine._select in numpy)."""
+        for si in range(strat, len(self.plan.strategies)):
+            s = self.plan.strategies[si]
+            ids = s.ids
+            l, u = lb[ids], ub[ids]
+            ok = (l < u) & (l > NINF) & (u < INF)
+            if not ok.any():
+                continue
+            vo = _VO.get(s.var_order, 0)
+            if vo == 0:
+                key = np.arange(len(ids), dtype=np.int64)
+            elif vo == 1:
+                key = (u - l).astype(np.int64)
+            elif vo == 2:
+                key = -(u - l).astype(np.int64)
+            elif vo == 3:
+                key = l.astype(np.int64)
+            else:
+                key = -u.astype(np.int64)
+            # int64 keys: an int32 key would wrap the big sentinel to -1
+            # and select padding slots.
+            pos = int(np.argmin(np.where(ok, key, np.iinfo(np.int64).max)))
+            return si, int(ids[pos]), s.val_order
+        return None
+
+    # -- solve ---------------------------------------------------------
+
+    def solve(self, timeout_s: float = 1e18,
+              stop_after_n_solutions: int = 1, node_limit: int = 0,
+              verbose: bool = False, on_improve=None,
+              **_ignored) -> EngineResult:
+        from .timers import PhaseTimers
+        t0 = time.monotonic()
+        if self.plan.root_unsat:
+            return EngineResult.unsat(self)
+        plan = self.plan
+        C = self.cfg.num_dives
+        V = plan.V
+        obj = plan.obj
+        timers = PhaseTimers(num_lanes=C)
+
+        cubes = [_Cube() for _ in range(C)]
+        next_sub = 0
+        best_bound = INF
+        best_lb = best_ub = None
+        best_obj_time = 0.0
+        nodes = fails = sols = fpit_total = 0
+        deds = 0.0
+        depth_max = 0
+        solved_sub = skipped_sub = 0
+        exhaustive = True
+        stopped = False
+        maxd = self.cfg.max_depth
+
+        root_lb = plan.lb0.astype(np.int32)
+        root_ub = plan.ub0.astype(np.int32)
+
+        def grab(cube) -> bool:
+            nonlocal next_sub
+            if next_sub >= self.num_sub_total:
+                return False
+            cube.subp = next_sub
+            next_sub += 1
+            cube.remaining = self.k
+            cube.lb = root_lb.copy()
+            cube.ub = root_ub.copy()
+            cube.depth = 0
+            cube.strat = 0
+            cube.stack = []
+            cube.active = True
+            return True
+
+        def next_work(cube) -> bool:
+            nonlocal solved_sub
+            if cube.stack:
+                cube.lb, cube.ub, cube.depth, cube.strat = cube.stack.pop()
+                return True
+            if cube.active and cube.subp >= 0:
+                solved_sub += 1
+                cube.subp = -1
+            if grab(cube):
+                return True
+            cube.active = False
+            return False
+
+        for cube in cubes:
+            grab(cube)
+
+        while True:
+            act = [c for c in cubes if c.active]
+            if not act:
+                break
+            if time.monotonic() - t0 > timeout_s or \
+                    (node_limit and nodes >= node_limit):
+                stopped = True
+                exhaustive = False
+                break
+            # BAB: tighten the objective from the shared incumbent
+            # (update_local_best_bound, hybrid:481-497).
+            if self.opt and best_bound < INF:
+                for c in act:
+                    if c.remaining == 0:
+                        c.ub[obj] = min(c.ub[obj], best_bound - 1)
+            # One batched device propagation for every cube's current
+            # node (the per-node handshake, hybrid:505-522).
+            tt = time.monotonic()
+            L = np.stack([c.lb for c in act])
+            U = np.stack([c.ub for c in act])
+            timers.transfer_c2g += time.monotonic() - tt
+            td = time.monotonic()
+            Lj, Uj, it = self._fp(L, U)
+            bot, ent = self._post(Lj, Uj)
+            Lh, Uh, ith, both, enth = jax.device_get((Lj, Uj, it, bot, ent))
+            now = time.monotonic()
+            # Dispatch is async; the fetch blocks until the kernel is
+            # done, so (now - td) is device time + transfer together.
+            phases = np.array([0 if c.remaining > 0 else 1 for c in act])
+            warmup = nodes == 0  # first round includes jit compile
+            timers.record_chunk(now - td, fpit_total + int(ith.sum()),
+                                phases, 1, now - t0, measured=not warmup)
+            for i, c in enumerate(act):
+                c.lb, c.ub = Lh[i].copy(), Uh[i].copy()
+                nodes += 1
+                fpit_total += int(ith[i])
+                deds += float(ith[i]) * plan.num_real_props
+                depth_max = max(depth_max, c.depth)
+                diving = c.remaining > 0
+                if both[i]:
+                    fails += 1
+                    if diving and (c.subp & ((1 << c.remaining) - 1)) == 0:
+                        skipped_sub += (1 << c.remaining) - 1
+                        next_sub = max(next_sub,
+                                       ((c.subp >> c.remaining) + 1)
+                                       << c.remaining)
+                    next_work(c)
+                    continue
+                if enth[i]:
+                    if (not self.opt) or int(c.lb[obj]) < best_bound:
+                        best_lb, best_ub = c.lb.copy(), c.ub.copy()
+                        sols += 1
+                        if self.opt:
+                            best_bound = int(c.lb[obj])
+                            best_obj_time = time.monotonic() - t0
+                        if on_improve is not None:
+                            on_improve(plan.store_to_tnf(best_lb))
+                        if not self.opt and stop_after_n_solutions and \
+                                sols >= stop_after_n_solutions:
+                            stopped = True
+                            exhaustive = False
+                            act = []
+                            break
+                    next_work(c)
+                    continue
+                sel = self._select(c.lb, c.ub, c.strat)
+                if sel is None:
+                    exhaustive = False  # unbounded domains remain
+                    next_work(c)
+                    continue
+                si, var, val_order = sel
+                if diving:
+                    bit = (c.subp >> (c.remaining - 1)) & 1
+                    (l0, u0), (l1, u1) = _children(
+                        val_order, int(c.lb[var]), int(c.ub[var]))
+                    lo, hi = (l1, u1) if bit else (l0, u0)
+                    c.lb[var] = max(c.lb[var], lo)
+                    c.ub[var] = min(c.ub[var], hi)
+                    c.remaining -= 1
+                    if c.remaining == 0:
+                        c.strat = si
+                    continue
+                if c.depth >= maxd:
+                    exhaustive = False
+                    next_work(c)
+                    continue
+                (l0, u0), (l1, u1) = _children(
+                    val_order, int(c.lb[var]), int(c.ub[var]))
+                rlb, rub = c.lb.copy(), c.ub.copy()
+                rlb[var] = max(rlb[var], l1)
+                rub[var] = min(rub[var], u1)
+                c.stack.append((rlb, rub, c.depth + 1, si))
+                c.lb[var] = max(c.lb[var], l0)
+                c.ub[var] = min(c.ub[var], u0)
+                c.depth += 1
+                c.strat = si
+            if stopped:
+                break
+
+        solve_time = time.monotonic() - t0
+        exhaustive = exhaustive and not stopped
+        res = EngineResult(
+            status="unknown", objective=None, best_lb=None, best_ub=None,
+            nodes=nodes, fails=fails, solutions=sols,
+            fixpoint_iterations=fpit_total, num_deductions=deds,
+            depth_max=depth_max, eps_num_subproblems=self.num_sub_total,
+            eps_solved_subproblems=solved_sub,
+            eps_skipped_subproblems=skipped_sub,
+            exhaustive=exhaustive, solve_time=solve_time,
+            num_blocks=C, num_blocks_done=sum(not c.active for c in cubes),
+            variables=self.tnf.num_vars, propagators=plan.num_real_props)
+        res.best_obj_time = best_obj_time
+        timers.fill_result(res, solve_time)
+        if best_lb is None:
+            res.status = "unsat" if exhaustive else "unknown"
+            return res
+        res.best_lb, res.best_ub = plan.store_to_tnf(best_lb, best_ub)
+        if self.opt:
+            if self.tnf.is_max:
+                res.objective = int(res.best_ub[self.tnf.orig_obj_var])
+            else:
+                res.objective = int(res.best_lb[self.tnf.obj_var])
+            res.status = "optimal" if exhaustive else "sat"
+        else:
+            res.status = "sat"
+        return res

@@ -87,7 +87,7 @@ def parse_args(argv=None) -> Configuration:
                    help="periodically save search state; resume if PATH exists")
     p.add_argument("-version", action="version", version="turbo-tpu 0.1.0")
     a = p.parse_args(argv)
-    arch = {"barebones": "tpu", "gpu": "tpu", "hybrid": "tpu"}.get(a.arch, a.arch)
+    arch = {"barebones": "tpu", "gpu": "tpu"}.get(a.arch, a.arch)
     return Configuration(
         problem_path=a.problem, arch=arch, timeout_ms=a.t,
         print_all_solutions=a.a,
