@@ -31,6 +31,16 @@ def run(cfg: Configuration) -> int:
     stats.stat("parsed_constraints", len(model.constraints))
     if cfg.free_search:
         model.solve.searches = []
+    if cfg.print_ast:
+        # -ast: print the parsed model (config.cpp:17 "print the AST").
+        for v in model.vars:
+            dom = f"{v.lb}..{v.ub}" if not v.is_bool else "bool"
+            print(f"var {dom}: {v.name};")
+        for con in model.constraints:
+            print(f"constraint {con.name}{tuple(con.args)!r};")
+        print(f"solve {model.solve.kind}"
+              + (f" {model.solve.objective};" if model.solve.objective
+                 else ";"))
     tnf = compile_model(model)
     stats.stat("variables", tnf.num_vars)
     stats.stat("propagators", tnf.num_props)
