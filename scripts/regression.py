@@ -23,7 +23,8 @@ sys.path.insert(0, REPO)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arch", default="tpu", choices=["cpu", "tpu", "multi"])
+    ap.add_argument("--arch", default="tpu",
+                    choices=["cpu", "tpu", "multi", "hybrid"])
     ap.add_argument("--timeout", type=float, default=60.0)
     ap.add_argument("--list", dest="list_path",
                     default="/root/reference/benchmarks/test_list.csv")
@@ -62,6 +63,9 @@ def main():
                 if args.arch == "multi":
                     from turbo_tpu.parallel.mesh import ShardedSolver
                     s = ShardedSolver(tnf, cfgc)
+                elif args.arch == "hybrid":
+                    from turbo_tpu.solver.hybrid import HybridSolver
+                    s = HybridSolver(tnf, cfgc)
                 else:
                     s = BatchedSolver(tnf, cfgc)
                 r = s.solve(timeout_s=args.timeout)
