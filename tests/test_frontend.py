@@ -99,3 +99,28 @@ def test_native_parser_matches_python(path):
     assert [(c.name, repr(c.args), c.defines) for c in mp.constraints] == \
            [(c.name, repr(c.args), c.defines) for c in mn.constraints]
     assert mp.solve == mn.solve
+
+
+def test_search_annotation_array_expansion():
+    """Search annotations naming a var ARRAY must expand to its
+    elements (pat1's seq_search previously produced empty strategies,
+    degrading search to the default order)."""
+    from turbo_tpu.frontend.fzn import parse_fzn
+    from turbo_tpu.compile.model import compile_model
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/pat1.fzn"))
+    assert len(tnf.strategies) == 3
+    assert len(tnf.strategies[0].var_ids) == 14   # X_INTRODUCED_555_
+    assert len(tnf.strategies[1].var_ids) == 182  # X_INTRODUCED_554_
+    assert tnf.strategies[0].var_order == "smallest"
+
+
+def test_pat1_proves_with_annotated_search():
+    from turbo_tpu.frontend.fzn import parse_fzn
+    from turbo_tpu.compile.model import compile_model
+    from turbo_tpu.solver.oracle import solve
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/pat1.fzn"))
+    r = solve(tnf, timeout_s=60)
+    assert r.status == "optimal" and r.objective == 19
+    assert r.stats.nodes < 1000

@@ -167,9 +167,18 @@ def compile_model(model: Model) -> Tnf:
     # 5. Search strategies from annotations + default first_fail/indomain_min
     # over the whole store (common_solving.hpp:640-650).
     strategies: List[Strategy] = []
+    arrays_by_name = {a.name: a for a in model.arrays}
     for s in model.solve.searches:
         ids = []
+        entries = []
         for e in s.vars:
+            # Annotation args may name a var ARRAY (e.g.
+            # int_search(X_INTRODUCED_555_, ...)): expand to elements.
+            if isinstance(e, str) and e in arrays_by_name:
+                entries.extend(arrays_by_name[e].elems)
+            else:
+                entries.append(e)
+        for e in entries:
             try:
                 ids.append(ctx.term(e))
             except CompileError:
