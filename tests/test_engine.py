@@ -548,3 +548,26 @@ def test_hybrid_matches_oracle_on_random_models():
         rh = s.solve(timeout_s=60)
         assert ro.status == rh.status, (trial, text, ro.status, rh.status)
         assert ro.objective == rh.objective, (trial, text)
+
+
+def test_all_solutions_enumeration():
+    """-a semantics: solutions are all-singleton stores; entailed boxes
+    split further, and mid-dive duplicates across EPS prefixes are
+    counted once (left-most subproblem). x<y in 1..3 has exactly 3."""
+    from turbo_tpu.solver.hybrid import HybridSolver
+    from turbo_tpu.solver.oracle import solve as osolve
+    tnf = compile_model(parse_fzn_text("""
+var 1..3: x; var 1..3: y;
+constraint int_lt(x, y);
+solve satisfy;
+"""))
+    ro = osolve(tnf, timeout_s=30, stop_after_n_solutions=0)
+    assert ro.stats.solutions == 3
+    cfg = EngineConfig(num_dives=4, subproblems_power=3, max_depth=64,
+                       fp_max_iters=32, enumerate_all=True)
+    re = BatchedSolver(tnf, cfg).solve(timeout_s=60,
+                                       stop_after_n_solutions=0)
+    assert re.solutions == 3
+    rh = HybridSolver(tnf, cfg).solve(timeout_s=60,
+                                      stop_after_n_solutions=0)
+    assert rh.solutions == 3

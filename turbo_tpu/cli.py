@@ -116,7 +116,9 @@ def run(cfg: Configuration) -> int:
                          max_depth=cfg.max_depth,
                          eps_var_order=cfg.eps_var_order,
                          eps_value_order=cfg.eps_value_order,
-                         seed=cfg.seed)
+                         seed=cfg.seed,
+                         enumerate_all=(tnf.obj_var < 0
+                                        and cfg.stop_after_n_solutions != 1))
     if cfg.arch == "multi":
         from .parallel.mesh import ShardedSolver
 

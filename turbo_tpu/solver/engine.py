@@ -106,6 +106,9 @@ class EngineConfig:
     eps_var_order: str = "default"
     eps_value_order: str = "default"
     seed: int = 1
+    # All-solutions mode (-a / -n>1 on satisfaction problems): count
+    # only all-singleton stores, splitting entailed boxes further.
+    enumerate_all: bool = False
 
 
 class BatchedSolver:
@@ -314,7 +317,25 @@ class BatchedSolver:
             lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
         bot = self.kernels.is_bot(lb, ub)
         ent = self.kernels.all_entailed(lb, ub) & ~bot
-        leaf = bot | ent
+
+        # IV(a). Branch variable selection (needed before the solution
+        # block in all-solutions mode).
+        found, var, nstrat, valo = self._select(lb, ub, strat0)
+        if cfg.enumerate_all:
+            # All-solutions semantics: a solution is an all-singleton
+            # store (AtomicExtraction); entailed boxes with splittable
+            # vars keep splitting so each assignment is counted. A
+            # singleton reached mid-dive is shared by every subproblem
+            # of its prefix: count it only in the left-most one
+            # (subp suffix bits all zero - the same dedup the reference
+            # applies to skip counts, barebones:737-739).
+            leftmost = (st.subp &
+                        (jnp.left_shift(1, st.remaining) - 1)) == 0
+            sol = ent & ~found & jnp.where(in_dive, leftmost, True)
+            leaf = bot | (ent & ~found)
+        else:
+            sol = ent
+            leaf = bot | sol
 
         nodes = st.nodes + act.astype(I32)
         fails = st.fails + (act & bot).astype(I32)
@@ -323,17 +344,15 @@ class BatchedSolver:
         dmax = jnp.maximum(st.dmax, jnp.where(act, st.depth, 0))
 
         # III. Solutions (all propagators entailed; objective read at lb).
-        impr = act & ent & jnp.where(is_opt, lb[:, obj] < best_bound,
-                                     ~st.has_best)
+        impr = act & sol & jnp.where(is_opt, lb[:, obj] < best_bound,
+                                     (True if cfg.enumerate_all
+                                      else ~st.has_best))
         best_lb = jnp.where(impr[:, None], lb, st.best_lb)
         best_ub = jnp.where(impr[:, None], ub, st.best_ub)
         best_bound = jnp.where(
             impr, jnp.where(is_opt, lb[:, obj], 0), best_bound)
         has_best = st.has_best | impr
         sols = st.sols + impr.astype(I32)
-
-        # IV. Branch variable selection.
-        found, var, nstrat, valo = self._select(lb, ub, strat0)
         no_split = act & ~leaf & ~found
         # No splittable var: if some unfixed (necessarily unbounded) var
         # remains, search is incomplete (reference: exhaustive=false,
@@ -492,7 +511,8 @@ class BatchedSolver:
             program_key = ("step_n", n, self.plan.shape_signature,
                            self.cfg.num_dives, self.cfg.max_depth,
                            self.cfg.fp_mode, self.cfg.fp_fixed_iters,
-                           self.cfg.fp_max_iters, self.axis_name)
+                           self.cfg.fp_max_iters, self.axis_name,
+                           self.cfg.enumerate_all)
             self._step_n_cache[n] = cached_compile(
                 step_n, (self.init_state(),), program_key, verbose=True)
         return self._step_n_cache[n]

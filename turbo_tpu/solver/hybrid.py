@@ -220,7 +220,29 @@ class HybridSolver:
                                        << c.remaining)
                     next_work(c)
                     continue
-                if enth[i]:
+                if enth[i] and self.cfg.enumerate_all and not self.opt \
+                        and self._select(c.lb, c.ub, c.strat) is not None:
+                    # All-solutions mode: entailed box with unfixed
+                    # vars keeps splitting (solutions = singleton
+                    # stores, AtomicExtraction semantics).
+                    enth_i = False
+                else:
+                    enth_i = bool(enth[i])
+                if enth_i:
+                    # Solution reached mid-dive: skip its whole prefix
+                    # subtree (barebones:717-741 applies to any dive
+                    # leaf) and count it only from the left-most
+                    # subproblem to avoid duplicates.
+                    leftmost = (c.subp & ((1 << c.remaining) - 1)) == 0
+                    if diving:
+                        next_sub = max(next_sub,
+                                       ((c.subp >> c.remaining) + 1)
+                                       << c.remaining)
+                        if leftmost:
+                            skipped_sub += (1 << c.remaining) - 1
+                    if self.cfg.enumerate_all and diving and not leftmost:
+                        next_work(c)
+                        continue
                     if (not self.opt) or int(c.lb[obj]) < best_bound:
                         best_lb, best_ub = c.lb.copy(), c.ub.copy()
                         sols += 1

@@ -424,7 +424,13 @@ def branch_children(val_order: str, lo: int, hi: int):
 
 def solve(tnf: Tnf, timeout_s: float = 1e18, stop_after_n_solutions: int = 1,
           node_limit: int = 1 << 62, print_intermediate=None) -> SolveResult:
-    """DFS branch-and-bound solve of a compiled TNF."""
+    """DFS branch-and-bound solve of a compiled TNF.
+
+    All-solutions semantics (stop_after_n_solutions == 0 or > 1): a
+    solution is an all-singleton store (the reference's
+    AtomicExtraction / is_extractable), so entailed boxes with unfixed
+    variables keep splitting; with the default stop-after-1 an entailed
+    box counts once and its lb witness is returned."""
     stats = SolveStats()
     t0 = time.monotonic()
     opt = tnf.obj_var >= 0
@@ -460,7 +466,9 @@ def solve(tnf: Tnf, timeout_s: float = 1e18, stop_after_n_solutions: int = 1,
         if bot:
             stats.fails += 1
             continue
-        if table.all_entailed(lb, ub):
+        enumerate_all = (not opt) and stop_after_n_solutions != 1
+        if table.all_entailed(lb, ub) and not (
+                enumerate_all and select_var(tnf.strategies, lb, ub) is not None):
             stats.solutions += 1
             best_lb, best_ub = lb.copy(), ub.copy()
             if opt:
