@@ -163,3 +163,34 @@ def test_xcsp3_engine_differential(tmp_path):
 </instance>"""
     r, _, _ = _solve_xml(tmp_path, xml, engine=True)
     assert r.status == "optimal" and r.objective == 12
+
+
+def test_objective_weighted_sum_and_maximum(tmp_path):
+    xml = """<instance format="XCSP3" type="COP">
+<variables>
+ <var id="x"> 0..5 </var><var id="y"> 0..5 </var>
+</variables>
+<constraints>
+ <intension> le(add(x,y),6) </intension>
+</constraints>
+<objectives>
+ <maximize type="sum"><list> x y </list><coeffs> 2 3 </coeffs></maximize>
+</objectives>
+</instance>"""
+    r, _, _ = _solve_xml(tmp_path, xml)
+    # max 2x+3y s.t. x+y<=6, x,y in 0..5 -> x=1,y=5 -> 17
+    assert r.status == "optimal" and r.objective == 17
+    xml2 = """<instance format="XCSP3" type="COP">
+<variables>
+ <var id="a"> 1..9 </var><var id="b"> 2..7 </var>
+</variables>
+<constraints>
+ <intension> eq(add(a,b),9) </intension>
+</constraints>
+<objectives>
+ <minimize type="maximum"><list> a b </list></minimize>
+</objectives>
+</instance>"""
+    r2, _, _ = _solve_xml(tmp_path, xml2)
+    # minimize max(a,b) with a+b=9 -> {4,5} -> 5
+    assert r2.status == "optimal" and r2.objective == 5

@@ -112,16 +112,34 @@ def parse_xcsp3(path: str) -> Model:
         for o in objs:
             kind = "minimize" if o.tag == "minimize" else "maximize"
             typ = o.get("type", "expression")
-            terms = b.resolve_list((o.text or "").strip())
+            lst = o.find("list")
+            coeffs_el = o.find("coeffs")
+            if lst is not None:
+                terms = b.resolve_list((lst.text or "").strip())
+            else:
+                terms = b.resolve_list((o.text or "").strip())
+            coeffs = (_parse_values(coeffs_el.text)
+                      if coeffs_el is not None else [1] * len(terms))
             if typ in ("sum", "expression"):
-                if len(terms) == 1:
+                if len(terms) == 1 and coeffs == [1]:
                     obj = terms[0]
                 else:
                     obj = b.new_aux(None, None)
                     b.constraints.append(Constraint(
                         "int_lin_eq",
-                        [[1] * len(terms) + [-1], terms + [obj], 0]))
+                        [coeffs + [-1], terms + [obj], 0]))
                 solve = SolveItem(kind, obj, [])
+            elif typ in ("minimum", "maximum"):
+                doms = {v.name: (v.lb, v.ub) for v in b.vars}
+                lo = min(doms[t][0] for t in terms)
+                hi = max(doms[t][1] for t in terms)
+                fold = "int_min" if typ == "minimum" else "int_max"
+                acc = terms[0]
+                for x in terms[1:]:
+                    nxt = b.new_aux(lo, hi)
+                    b.constraints.append(Constraint(fold, [acc, x, nxt]))
+                    acc = nxt
+                solve = SolveItem(kind, acc, [])
             else:
                 raise Xcsp3Error(f"unsupported objective type {typ!r}")
             break
