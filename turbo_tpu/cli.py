@@ -16,10 +16,34 @@ from .utils.output import (MznStats, print_final_separator,
                            print_mzn_statistics, print_solution)
 
 
+def _hardware_name() -> str:
+    try:
+        import jax
+
+        return str(jax.devices()[0].platform)
+    except Exception:
+        return "unspecified"
+
+
 def run(cfg: Configuration) -> int:
     stats = MznStats(cfg.print_statistics)
     t0 = time.monotonic()
-    stats.stat("comandLine", f"turbo-tpu {cfg.problem_path}")
+    # Config echo (turbo.cpp:27, config.hpp:237-266).
+    stats.stat("command_line", f'"turbo-tpu {cfg.problem_path}"')
+    stats.stat("problem_path", f'"{cfg.problem_path}"')
+    stats.stat("solver", '"turbo-tpu"')
+    stats.stat("version", '"1.0.0"')
+    stats.stat("hardware", f'"{_hardware_name()}"')
+    stats.stat("arch", f'"{cfg.arch}"')
+    stats.stat("fixpoint", '"ac1"')
+    stats.stat("subproblems_factor", cfg.subproblems_factor)
+    stats.stat("seed", cfg.seed)
+    stats.stat("eps_var_order", f'"{cfg.eps_var_order}"')
+    stats.stat("eps_value_order", f'"{cfg.eps_value_order}"')
+    stats.stat("free_search", '"yes"' if cfg.free_search else '"no"')
+    stats.stat("or_nodes", cfg.or_nodes)
+    stats.stat("timeout_ms", cfg.timeout_ms)
+    stats.stat("cutnodes", cfg.stop_after_n_nodes or 0)
     # Input-format sniffing by extension (config.hpp:268-279).
     if cfg.problem_path.endswith(".xml"):
         from .frontend.xcsp3 import parse_xcsp3
