@@ -307,6 +307,16 @@ class HybridSolver:
             variables=self.tnf.num_vars, propagators=plan.num_real_props)
         res.best_obj_time = best_obj_time
         timers.fill_result(res, solve_time)
+        # In this arch the device does ONLY propagation, so the
+        # FIXPOINT/SEARCH split is directly measured, not fitted:
+        # device busy time = fixpoint, remaining host time = search
+        # (and the device idles while the host searches, the inverse
+        # of the reference's WAIT_CPU).
+        res.fixpoint_time = timers.device_time / max(C, 1)
+        res.search_time = max(
+            solve_time - timers.device_time - timers.transfer_c2g
+            - timers.transfer_g2c, 0.0) / max(C, 1)
+        res.wait_cpu_time = res.search_time
         if best_lb is None:
             res.status = "unsat" if exhaustive else "unknown"
             return res
