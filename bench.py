@@ -88,8 +88,11 @@ def main():
     nodes0 = int(np.asarray(jax.device_get(st.nodes)).sum())
     t0 = time.monotonic()
     steps = 0
-    while time.monotonic() - t0 < MEASURE_S and \
-            time.monotonic() - t_start < BUDGET_S:
+    # Always measure for at least 15s even if a cold compile consumed
+    # the budget - a short valid measurement beats a zero division.
+    remaining = BUDGET_S - (time.monotonic() - t_start)
+    measure_s = max(15.0, min(MEASURE_S, remaining))
+    while time.monotonic() - t0 < measure_s:
         st = step_n(st)
         steps += 16
         if steps % 256 == 0:
