@@ -62,3 +62,20 @@ def test_cli_unsat():
     r = run_cli("/root/reference/benchmarks/unsolved_bugs_data/false.fzn",
                 "-arch", "cpu")
     assert "=====UNSATISFIABLE=====" in r.stdout
+
+
+def test_cli_all_solutions_and_config_echo(tmp_path):
+    m = tmp_path / "m.fzn"
+    m.write_text("""var 1..3: x :: output_var;
+var 1..3: y :: output_var;
+constraint int_lt(x, y);
+solve satisfy;
+""")
+    r = run_cli(str(m), "-arch", "cpu", "-a", "-s", "-t", "30000")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("----------") == 3   # x<y in 1..3: 3 solutions
+    assert "==========" in r.stdout            # exhaustive enumeration
+    assert "%%%mzn-stat: num_solutions=3" in r.stdout
+    for key in ("command_line=", "problem_path=", "arch=", "or_nodes=",
+                "free_search=", "timeout_ms="):
+        assert f"%%%mzn-stat: {key}" in r.stdout, key
