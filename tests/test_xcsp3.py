@@ -194,3 +194,43 @@ def test_objective_weighted_sum_and_maximum(tmp_path):
     r2, _, _ = _solve_xml(tmp_path, xml2)
     # minimize max(a,b) with a+b=9 -> {4,5} -> 5
     assert r2.status == "optimal" and r2.objective == 5
+
+
+def test_extension_unary_plain_value_form(tmp_path):
+    """XCSP3-core writes unary tables as plain values (no parens);
+    previously this made supports wrongly UNSAT and silently dropped
+    conflicts."""
+    xml = """<instance format="XCSP3" type="CSP">
+<variables><var id="x"> 0..9 </var></variables>
+<constraints>
+ <extension><list> x </list><supports> 1 4 7 </supports></extension>
+ <intension> gt(x,4) </intension>
+</constraints>
+</instance>"""
+    r, _, _ = _solve_xml(tmp_path, xml)
+    assert r.status == "sat" and int(r.best_lb[0]) == 7
+    xml2 = """<instance format="XCSP3" type="CSP">
+<variables><var id="x"> 0..3 </var></variables>
+<constraints>
+ <extension><list> x </list><conflicts> 0 1 2 </conflicts></extension>
+</constraints>
+</instance>"""
+    r2, _, _ = _solve_xml(tmp_path, xml2)
+    assert r2.status == "sat" and int(r2.best_lb[0]) == 3
+
+
+def test_extension_interval_compression(tmp_path):
+    """(1..3,0) expands to (1,0)(2,0)(3,0)."""
+    xml = """<instance format="XCSP3" type="CSP">
+<variables>
+ <var id="a"> 0..5 </var><var id="b"> 0..5 </var>
+</variables>
+<constraints>
+ <extension><list> a b </list><supports> (1..3,0)(5,5) </supports></extension>
+ <intension> ge(a,2) </intension>
+ <intension> le(b,4) </intension>
+</constraints>
+</instance>"""
+    r, _, _ = _solve_xml(tmp_path, xml)
+    assert r.status == "sat"
+    assert int(r.best_lb[0]) in (2, 3) and int(r.best_lb[1]) == 0

@@ -17,12 +17,11 @@ from .utils.output import (MznStats, print_final_separator,
 
 
 def _hardware_name() -> str:
-    try:
-        import jax
+    # No jax.devices() here: backend init can hang on a flaky TPU
+    # relay and must not block stats echo (or pure-numpy cpu runs).
+    import os
 
-        return str(jax.devices()[0].platform)
-    except Exception:
-        return "unspecified"
+    return os.environ.get("JAX_PLATFORMS", "") or "unspecified"
 
 
 def run(cfg: Configuration) -> int:
@@ -154,12 +153,19 @@ def run(cfg: Configuration) -> int:
     else:
         solver = BatchedSolver(tnf, econf)
     on_improve = None
+    printed_last = [None]
     if cfg.print_intermediate:
         def on_improve(best_lb_tnf):
+            printed_last[0] = list(best_lb_tnf)
             print_solution(tnf, best_lb_tnf)
     extra = {}
     if cfg.checkpoint_path:
-        extra["checkpoint_path"] = cfg.checkpoint_path
+        if cfg.arch == "hybrid":
+            print("% WARNING: -checkpoint is not supported by the "
+                  "hybrid arch; running without checkpointing",
+                  file=sys.stderr)
+        else:
+            extra["checkpoint_path"] = cfg.checkpoint_path
     r = solver.solve(timeout_s=timeout_s,
                      stop_after_n_solutions=cfg.stop_after_n_solutions,
                      node_limit=(cfg.stop_after_n_nodes
@@ -167,7 +173,10 @@ def run(cfg: Configuration) -> int:
                      verbose=cfg.verbose >= 2, on_improve=on_improve,
                      **extra)
     r.init_time = init_time
-    if r.best_lb is not None:
+    # Final solution block — skipped when the intermediate printer
+    # already emitted this exact store (avoids a duplicate block that
+    # would miscount solutions under solns2out).
+    if r.best_lb is not None and printed_last[0] != list(r.best_lb):
         print_solution(tnf, r.best_lb)
     print_final_separator(r.status, tnf.obj_var >= 0,
                           exhaustive=r.exhaustive)

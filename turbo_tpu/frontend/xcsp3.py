@@ -130,9 +130,12 @@ def parse_xcsp3(path: str) -> Model:
                         [coeffs + [-1], terms + [obj], 0]))
                 solve = SolveItem(kind, obj, [])
             elif typ in ("minimum", "maximum"):
-                doms = {v.name: (v.lb, v.ub) for v in b.vars}
-                lo = min(doms[t][0] for t in terms)
-                hi = max(doms[t][1] for t in terms)
+                term_vals = [int(t) if re.fullmatch(r"-?\d+", t) else t
+                             for t in terms]
+                doms = [_dom_of(b, t) for t in term_vals]
+                lo = min(d[0] for d in doms)
+                hi = max(d[1] for d in doms)
+                terms = term_vals
                 fold = "int_min" if typ == "minimum" else "int_max"
                 acc = terms[0]
                 for x in terms[1:]:
@@ -362,7 +365,9 @@ def _lower_extension(b: _Builder, c):
     con = c.find("conflicts")
     if sup is not None and (sup.text or "").strip():
         tuples = _parse_tuples(sup.text)
-        if len(vs) == 1 and tuples and len(tuples[0]) == 1:
+        if not tuples:
+            raise Xcsp3Error("extension: empty/unparsable supports")
+        if len(vs) == 1 and len(tuples[0]) == 1:
             from .ast import SetLit
             vals = [t[0] for t in tuples if t[0] != "*"]
             b.constraints.append(Constraint(
@@ -399,10 +404,31 @@ def _lower_extension(b: _Builder, c):
 
 
 def _parse_tuples(text: str) -> List[list]:
+    """Tuple lists: '(1,2)(3,4)' n-ary form, plain values for unary
+    ('1 2 3'), and interval compression '(1..3,0)' (expanded)."""
+    import itertools
+
+    def cell(tok):
+        tok = tok.strip()
+        if tok == "*":
+            return ["*"]
+        m = re.fullmatch(r"(-?\d+)\.\.(-?\d+)", tok)
+        if m:
+            return list(range(int(m.group(1)), int(m.group(2)) + 1))
+        if re.fullmatch(r"-?\d+", tok):
+            return [int(tok)]
+        raise Xcsp3Error(f"unsupported extension tuple entry {tok!r}")
+
     out = []
-    for m in re.finditer(r"\(([^)]*)\)", text):
-        out.append([tok if tok == "*" else int(tok)
-                    for tok in m.group(1).split(",")])
+    if "(" in text:
+        for m in re.finditer(r"\(([^)]*)\)", text):
+            cells = [cell(tok) for tok in m.group(1).split(",")]
+            for combo in itertools.product(*cells):
+                out.append(list(combo))
+    else:
+        # Unary tables: whitespace-separated values (XCSP3-core form).
+        for tok in text.split():
+            out.extend([v] for v in cell(tok))
     return out
 
 

@@ -111,6 +111,35 @@ class EngineConfig:
     enumerate_all: bool = False
 
 
+def apply_strategy_config(plan, cfg) -> bool:
+    """Seed-shuffle 'random' strategies and prepend the EPS dive
+    strategy (split->shuffle_random_strategies + push_eps_strategy,
+    common_solving.hpp:631-667). Returns whether an EPS strategy was
+    prepended. Shared by the batched and hybrid architectures."""
+    import numpy as _np
+    from .plan import PlanStrategy
+    rng = _np.random.default_rng(cfg.seed)
+    for st in plan.strategies:
+        if st.var_order == "random":
+            ids = st.ids.copy()
+            rng.shuffle(ids)
+            st.ids = ids
+            st.var_order = "input_order"
+    has_eps = cfg.eps_var_order != "default"
+    if has_eps:
+        base = plan.strategies[-1]  # default whole-store strategy
+        eps = PlanStrategy(cfg.eps_var_order,
+                           cfg.eps_value_order
+                           if cfg.eps_value_order != "default"
+                           else "indomain_min",
+                           base.ids.copy())
+        plan.strategies.insert(0, eps)
+        # Re-pad the strategy list to a power of two.
+        while len(plan.strategies) & (len(plan.strategies) - 1):
+            plan.strategies.append(plan.strategies[-1])
+    return has_eps
+
+
 class BatchedSolver:
     def __init__(self, tnf: Tnf, config: EngineConfig = EngineConfig(),
                  axis_name: Optional[str] = None, num_shards: int = 1):
@@ -135,30 +164,7 @@ class BatchedSolver:
     # -- strategies ---------------------------------------------------
 
     def _apply_strategy_config(self):
-        """Seed-shuffle 'random' strategies and prepend the EPS dive
-        strategy (split->shuffle_random_strategies + push_eps_strategy,
-        common_solving.hpp:631-667)."""
-        import numpy as _np
-        from .plan import PlanStrategy
-        rng = _np.random.default_rng(self.cfg.seed)
-        for st in self.plan.strategies:
-            if st.var_order == "random":
-                ids = st.ids.copy()
-                rng.shuffle(ids)
-                st.ids = ids
-                st.var_order = "input_order"
-        self.has_eps = self.cfg.eps_var_order != "default"
-        if self.has_eps:
-            base = self.plan.strategies[-1]  # default whole-store strategy
-            eps = PlanStrategy(self.cfg.eps_var_order,
-                               self.cfg.eps_value_order
-                               if self.cfg.eps_value_order != "default"
-                               else "indomain_min",
-                               base.ids.copy())
-            self.plan.strategies.insert(0, eps)
-            # Re-pad the strategy list to a power of two.
-            while len(self.plan.strategies) & (len(self.plan.strategies) - 1):
-                self.plan.strategies.append(self.plan.strategies[-1])
+        self.has_eps = apply_strategy_config(self.plan, self.cfg)
 
     def _build_strategy_tables(self):
         ids = [jnp.asarray(s.ids.astype(np.int32)) for s in self.plan.strategies]

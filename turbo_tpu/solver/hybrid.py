@@ -36,15 +36,7 @@ _VO = {"input_order": 0, "first_fail": 1, "anti_first_fail": 2,
        "smallest": 3, "largest": 4}
 
 
-def _children(val_order: str, lo: int, hi: int):
-    mid = lo + (hi - lo) // 2
-    if val_order == "indomain_max":
-        return (hi, hi), (lo, hi - 1)
-    if val_order == "indomain_split":
-        return (lo, mid), (mid + 1, hi)
-    if val_order == "indomain_reverse_split":
-        return (mid + 1, hi), (lo, mid)
-    return (lo, lo), (lo + 1, hi)  # indomain_min
+from .oracle import branch_children as _children  # LightBranch semantics
 
 
 class _Cube:
@@ -66,6 +58,8 @@ class HybridSolver:
         self.tnf = tnf
         self.cfg = config
         self.plan = build_plan(tnf)
+        from .engine import apply_strategy_config
+        self.has_eps = apply_strategy_config(self.plan, config)
         self.kernels = PropagatorKernels(self.plan)
         self.opt = self.plan.is_opt
         C = config.num_dives
@@ -274,7 +268,9 @@ class HybridSolver:
                     c.ub[var] = min(c.ub[var], hi)
                     c.remaining -= 1
                     if c.remaining == 0:
-                        c.strat = si
+                        # Skip the EPS dive strategy once the dive ends
+                        # (skip_eps_strategy, barebones:748-752).
+                        c.strat = max(si, int(self.has_eps))
                     continue
                 if c.depth >= maxd:
                     exhaustive = False

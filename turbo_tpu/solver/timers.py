@@ -122,7 +122,9 @@ class PhaseTimers:
         # Lockstep lanes are all busy while the device runs: the summed
         # per-block busy time is lanes x device wall time.
         res.cumulative_time_block_sec = self.device_time * self.num_lanes
-        if self.device_time > 0:
+        if res.cumulative_time_block_sec > 0:
+            # Reference formula exactly (statistics.hpp:357):
+            # num_deductions / num_blocks / to_sec(cumulative_time_block).
             res.deductions_per_block_second = (
-                res.num_deductions / D / self.device_time)
+                res.num_deductions / D / res.cumulative_time_block_sec)
         return res
