@@ -31,7 +31,8 @@ def run(cfg: Configuration) -> int:
     stats.stat("command_line", f'"turbo-tpu {cfg.problem_path}"')
     stats.stat("problem_path", f'"{cfg.problem_path}"')
     stats.stat("solver", '"turbo-tpu"')
-    stats.stat("version", '"1.0.0"')
+    from . import __version__
+    stats.stat("version", f'"{__version__}"')
     stats.stat("hardware", f'"{_hardware_name()}"')
     stats.stat("arch", f'"{cfg.arch}"')
     stats.stat("fixpoint", '"ac1"')

@@ -85,7 +85,9 @@ def parse_args(argv=None) -> Configuration:
     p.add_argument("-disable_network_analysis", action="store_true")
     p.add_argument("-checkpoint", default="", metavar="PATH",
                    help="periodically save search state; resume if PATH exists")
-    p.add_argument("-version", action="version", version="turbo-tpu 0.1.0")
+    from .. import __version__
+    p.add_argument("-version", action="version",
+                   version=f"turbo-tpu {__version__}")
     a = p.parse_args(argv)
     arch = {"barebones": "tpu", "gpu": "tpu"}.get(a.arch, a.arch)
     return Configuration(
