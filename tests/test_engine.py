@@ -571,3 +571,47 @@ solve satisfy;
     rh = HybridSolver(tnf, cfg).solve(timeout_s=60,
                                       stop_after_n_solutions=0)
     assert rh.solutions == 3
+
+
+def test_shard_partition_covers_all_subproblems():
+    # ADVICE r1 (high): floor split dropped num_sub_total % num_shards
+    # subproblems; tiny -sub gave shards empty ranges -> false UNSAT.
+    from turbo_tpu.frontend.fzn import parse_fzn_text as _p
+
+    tnf = compile_model(_p(
+        """
+        var 1..3: x :: output_var;
+        solve satisfy;
+        """
+    ))
+    for n_shards in (3, 5, 8):
+        for k in (1, 2, 5):
+            s = BatchedSolver(tnf, EngineConfig(
+                num_dives=2, subproblems_power=k, max_depth=16),
+                num_shards=n_shards)
+            covered = set()
+            limits = []
+            for i in range(n_shards):
+                st = s.init_state(shard_idx=i)
+                base = int(st.subp[0])
+                limit = int(st.sub_limit[0])
+                assert limit > base, (
+                    f"shard {i}/{n_shards} k={s.k} got an empty range")
+                covered.update(range(base, limit))
+                limits.append((base, limit))
+            assert covered == set(range(s.num_sub_total)), (
+                n_shards, k, limits)
+
+
+def test_sharded_tiny_sub_still_sat(bench_dir):
+    # End-to-end version of the ADVICE scenario: 8 virtual devices with
+    # -sub 1 on satisfiable pennies5 must not report UNSAT.
+    from turbo_tpu.parallel.mesh import ShardedSolver
+
+    tnf = compile_model(parse_fzn(
+        str(bench_dir / "test_data" / "pennies5.fzn")))
+    s = ShardedSolver(tnf, EngineConfig(num_dives=2, subproblems_power=1,
+                                        max_depth=64))
+    r = s.solve(timeout_s=120, chunk=8)
+    assert r.status in ("sat", "optimal")
+    assert r.objective is not None

@@ -234,3 +234,50 @@ def test_extension_interval_compression(tmp_path):
     r, _, _ = _solve_xml(tmp_path, xml)
     assert r.status == "sat"
     assert int(r.best_lb[0]) in (2, 3) and int(r.best_lb[1]) == 0
+
+
+def test_sparse_domain_holes(tmp_path):
+    # ADVICE r1 (high): a sparse domain "1 3 5" must exclude 2 and 4;
+    # relaxing to the hull admitted sum(x)=2 -> wrong SAT.
+    xml = """<instance format="XCSP3" type="CSP">
+<variables>
+ <var id="x"> 1 3 5 </var>
+</variables>
+<constraints>
+ <intension> eq(x,2) </intension>
+</constraints>
+</instance>"""
+    r, _, _ = _solve_xml(tmp_path, xml)
+    assert r.status == "unsat"
+
+
+def test_sparse_domain_optimum(tmp_path):
+    # Minimizing over {2,5,9} with x>3 must give 5, not 4.
+    xml = """<instance format="XCSP3" type="COP">
+<variables>
+ <var id="x"> 2 5 9 </var>
+</variables>
+<constraints>
+ <intension> gt(x,3) </intension>
+</constraints>
+<objectives><minimize> x </minimize></objectives>
+</instance>"""
+    r, _, _ = _solve_xml(tmp_path, xml)
+    assert r.status == "optimal" and r.objective == 5
+
+
+def test_sparse_domain_array_and_range_mix(tmp_path):
+    # Array domain with a range+values mix "0..2 7": 3..6 excluded.
+    xml = """<instance format="XCSP3" type="COP">
+<variables>
+ <array id="a" size="[2]"> 0..2 7 </array>
+</variables>
+<constraints>
+ <intension> gt(a[0],2) </intension>
+ <intension> gt(a[1],a[0]) </intension>
+</constraints>
+<objectives><minimize> a[1] </minimize></objectives>
+</instance>"""
+    r, _, _ = _solve_xml(tmp_path, xml)
+    # a[0] must be 7, a[1] > 7 impossible within {0,1,2,7} -> unsat
+    assert r.status == "unsat"

@@ -134,6 +134,16 @@ def run(cfg: Configuration) -> int:
     # Batched engine (single device or sharded mesh).
     from .solver.engine import BatchedSolver, EngineConfig
 
+    enumerate_all = tnf.obj_var < 0 and cfg.stop_after_n_solutions != 1
+    arch = cfg.arch
+    if enumerate_all and arch in ("tpu", "multi"):
+        # The batched archs count solutions on-device but cannot stream
+        # each one; solns2out consumers of -a need every block printed
+        # (reference streams per solution, gpu_dive_and_solve.hpp:100-132).
+        print(f"% WARNING: -a/-n>1 on the '{arch}' arch only counts "
+              "solutions on-device; switching to the hybrid arch to "
+              "print each solution", file=sys.stderr)
+        arch = "hybrid"
     econf = EngineConfig(num_dives=cfg.or_nodes,
                          subproblems_power=cfg.subproblems_power,
                          subproblems_factor=cfg.subproblems_factor,
@@ -141,13 +151,12 @@ def run(cfg: Configuration) -> int:
                          eps_var_order=cfg.eps_var_order,
                          eps_value_order=cfg.eps_value_order,
                          seed=cfg.seed,
-                         enumerate_all=(tnf.obj_var < 0
-                                        and cfg.stop_after_n_solutions != 1))
-    if cfg.arch == "multi":
+                         enumerate_all=enumerate_all)
+    if arch == "multi":
         from .parallel.mesh import ShardedSolver
 
         solver = ShardedSolver(tnf, econf)
-    elif cfg.arch == "hybrid":
+    elif arch == "hybrid":
         from .solver.hybrid import HybridSolver
 
         solver = HybridSolver(tnf, econf)
@@ -155,13 +164,13 @@ def run(cfg: Configuration) -> int:
         solver = BatchedSolver(tnf, econf)
     on_improve = None
     printed_last = [None]
-    if cfg.print_intermediate:
+    if cfg.print_intermediate or enumerate_all:
         def on_improve(best_lb_tnf):
             printed_last[0] = list(best_lb_tnf)
             print_solution(tnf, best_lb_tnf)
     extra = {}
     if cfg.checkpoint_path:
-        if cfg.arch == "hybrid":
+        if arch == "hybrid":
             print("% WARNING: -checkpoint is not supported by the "
                   "hybrid arch; running without checkpointing",
                   file=sys.stderr)
@@ -169,8 +178,7 @@ def run(cfg: Configuration) -> int:
             extra["checkpoint_path"] = cfg.checkpoint_path
     r = solver.solve(timeout_s=timeout_s,
                      stop_after_n_solutions=cfg.stop_after_n_solutions,
-                     node_limit=(cfg.stop_after_n_nodes
-                                 if cfg.arch != "multi" else 0),
+                     node_limit=cfg.stop_after_n_nodes,
                      verbose=cfg.verbose >= 2, on_improve=on_improve,
                      **extra)
     r.init_time = init_time

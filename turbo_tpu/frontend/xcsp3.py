@@ -36,13 +36,31 @@ def _parse_values(text: str) -> List[int]:
     return out
 
 
-def _parse_domain(text: str) -> Tuple[int, int]:
+def _parse_domain(text: str) -> Tuple[int, int, Union[Tuple[int, ...], None]]:
+    """Parse a domain spec into (lb, ub, sparse).
+
+    `sparse` is a sorted value tuple when the domain is a value list with
+    holes (e.g. "1 3 5"); contiguous lists and ranges return sparse=None.
+    A mix of ranges and values ("1..3 7 9") is also supported.
+    """
     text = text.strip()
     m = re.fullmatch(r"(-?\d+)\.\.(-?\d+)", text)
     if m:
-        return int(m.group(1)), int(m.group(2))
-    vals = _parse_values(text)
-    return min(vals), max(vals)
+        return int(m.group(1)), int(m.group(2)), None
+    vals: List[int] = []
+    for tok in text.split():
+        m = re.fullmatch(r"(-?\d+)\.\.(-?\d+)", tok)
+        if m:
+            vals.extend(range(int(m.group(1)), int(m.group(2)) + 1))
+        else:
+            vals.extend(_parse_values(tok))
+    if not vals:
+        raise Xcsp3Error(f"empty domain {text!r}")
+    vals = sorted(set(vals))
+    lo, hi = vals[0], vals[-1]
+    if len(vals) == hi - lo + 1:
+        return lo, hi, None
+    return lo, hi, tuple(vals)
 
 
 class _Builder:
@@ -87,17 +105,18 @@ def parse_xcsp3(path: str) -> Model:
             if not m:
                 raise Xcsp3Error(f"unsupported array size {size!r}")
             n = int(m.group(1))
-            lo, hi = _parse_domain(v.text or "")
+            lo, hi, sparse = _parse_domain(v.text or "")
             names = []
             aid = v.get("id")
             for i in range(n):
                 nm = f"{aid}[{i}]"
-                b.vars.append(VarDecl(nm, False, lo, hi, None, output_var=True))
+                b.vars.append(VarDecl(nm, False, lo, hi, sparse,
+                                      output_var=True))
                 names.append(nm)
             b.var_names[aid] = names
         elif v.tag == "var":
-            lo, hi = _parse_domain(v.text or "")
-            b.vars.append(VarDecl(v.get("id"), False, lo, hi, None,
+            lo, hi, sparse = _parse_domain(v.text or "")
+            b.vars.append(VarDecl(v.get("id"), False, lo, hi, sparse,
                                   output_var=True))
             b.var_names[v.get("id")] = [v.get("id")]
 

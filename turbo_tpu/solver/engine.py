@@ -155,6 +155,10 @@ class BatchedSolver:
         if k <= 0:
             total = max(1, config.subproblems_factor * D * num_shards)
             k = max(1, int(np.ceil(np.log2(total))))
+        # Every shard must own a non-empty subproblem range, or an
+        # explicitly pinned tiny -sub could leave shards claiming
+        # exhaustiveness over work they never received.
+        k = max(k, int(np.ceil(np.log2(max(1, num_shards)))))
         k = min(k, 30)
         self.k = k
         self.num_sub_total = 1 << k
@@ -247,7 +251,12 @@ class BatchedSolver:
         # atomic counter on one GPU).
         per = self.num_sub_total // self.num_shards
         base = shard_idx * per
-        limit = base + per
+        # The last shard absorbs the remainder so the union of ranges is
+        # exactly [0, 2^k) for ANY shard count (a floor split would drop
+        # num_sub_total % num_shards subproblems yet still claim
+        # exhaustiveness).
+        limit = (self.num_sub_total if shard_idx == self.num_shards - 1
+                 else base + per)
         subp = base + jnp.arange(D, dtype=I32)
         phase = jnp.where(subp < limit, DIVE, IDLE).astype(I32)
 
@@ -269,7 +278,7 @@ class BatchedSolver:
             remaining=jnp.full((D,), self.k, dtype=I32),
             subp=subp.astype(I32),
             strat=zeros(), snap_strat=zeros(),
-            next_sub=jnp.full((D,), base + D, dtype=I32),
+            next_sub=jnp.full((D,), min(base + D, limit), dtype=I32),
             nonexh=jnp.zeros((D,), dtype=bool),
             nodes=zeros(), fails=zeros(), sols=zeros(), fpit=zeros(),
             deds=jnp.zeros((D,), dtype=jnp.float32),

@@ -207,11 +207,15 @@ class HybridSolver:
                 diving = c.remaining > 0
                 if both[i]:
                     fails += 1
-                    if diving and (c.subp & ((1 << c.remaining) - 1)) == 0:
-                        skipped_sub += (1 << c.remaining) - 1
-                        next_sub = max(next_sub,
-                                       ((c.subp >> c.remaining) + 1)
-                                       << c.remaining)
+                    if diving:
+                        # Every dive leaf advances the shared counter
+                        # (barebones:717-741); the skip count is only
+                        # attributed to the leftmost lane of the prefix
+                        # subtree to avoid double counting.
+                        nxt = ((c.subp >> c.remaining) + 1) << c.remaining
+                        if (c.subp & ((1 << c.remaining) - 1)) == 0:
+                            skipped_sub += nxt - c.subp
+                        next_sub = max(next_sub, nxt)
                     next_work(c)
                     continue
                 if enth[i] and self.cfg.enumerate_all and not self.opt \
@@ -229,11 +233,10 @@ class HybridSolver:
                     # subproblem to avoid duplicates.
                     leftmost = (c.subp & ((1 << c.remaining) - 1)) == 0
                     if diving:
-                        next_sub = max(next_sub,
-                                       ((c.subp >> c.remaining) + 1)
-                                       << c.remaining)
+                        nxt = ((c.subp >> c.remaining) + 1) << c.remaining
+                        next_sub = max(next_sub, nxt)
                         if leftmost:
-                            skipped_sub += (1 << c.remaining) - 1
+                            skipped_sub += nxt - c.subp
                     if self.cfg.enumerate_all and diving and not leftmost:
                         next_work(c)
                         continue
