@@ -79,3 +79,43 @@ solve satisfy;
     for key in ("command_line=", "problem_path=", "arch=", "or_nodes=",
                 "free_search=", "timeout_ms="):
         assert f"%%%mzn-stat: {key}" in r.stdout, key
+
+
+def test_cli_parity_flags(tmp_path):
+    """Reference flag surface (config.cpp:128-220): -timeout overrides
+    -t, -hardware/-version are echoed, -globalmem/-p accepted."""
+    m = tmp_path / "m.fzn"
+    m.write_text("var 1..2: x :: output_var;\nsolve satisfy;\n")
+    r = run_cli(str(m), "-arch", "cpu", "-s", "-t", "1000",
+                "-timeout", "90000", "-hardware", "CPU;RAM;TPU v5e",
+                "-version", "9.9.9-test", "-globalmem", "-p", "8")
+    assert r.returncode == 0, r.stderr
+    assert "%%%mzn-stat: timeout_ms=90000" in r.stdout
+    assert '%%%mzn-stat: hardware="CPU;RAM;TPU v5e"' in r.stdout
+    assert '%%%mzn-stat: version="9.9.9-test"' in r.stdout
+    assert "%%%mzn-stat: or_nodes=8" in r.stdout
+
+
+def test_cli_or_p_exclusive(tmp_path):
+    m = tmp_path / "m.fzn"
+    m.write_text("var 1..2: x;\nsolve satisfy;\n")
+    r = run_cli(str(m), "-or", "4", "-p", "4")
+    assert r.returncode != 0
+    assert "-or and -p" in r.stderr
+
+
+def test_cli_fp_echo(tmp_path):
+    m = tmp_path / "m.fzn"
+    m.write_text("""var 1..4: x :: output_var;
+var 1..4: y :: output_var;
+constraint int_lt(x, y);
+solve minimize x;
+""")
+    r = run_cli(str(m), "-arch", "tpu", "-s", "-fp", "wac1",
+                "-wac1_threshold", "2", "-sub", "2", "-or", "4",
+                "-t", "60000")
+    assert r.returncode == 0, r.stderr
+    assert '%%%mzn-stat: fixpoint="wac1"' in r.stdout
+    assert "%%%mzn-stat: wac1_threshold=2" in r.stdout
+    assert "x = 1;" in r.stdout
+    assert "==========" in r.stdout

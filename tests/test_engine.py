@@ -615,3 +615,85 @@ def test_sharded_tiny_sub_still_sat(bench_dir):
     r = s.solve(timeout_s=120, chunk=8)
     assert r.status in ("sat", "optimal")
     assert r.objective is not None
+
+
+def test_wac1_fixpoint_matches_numpy():
+    """fixpoint_wac1 (per-group local fixpoints, scatter-meet) must
+    reach the same fixpoint as the numpy oracle rules; it may only
+    detect MORE bottoms than the bucketed AC-1 (it also meets into
+    fixed singleton slots, like the reference's tell)."""
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/sudoku_opt3.fzn"))
+    plan = build_plan(tnf)
+    kernels = PropagatorKernels(plan)
+    table = PropTable(tnf)
+    rng = np.random.default_rng(11)
+
+    D = 4
+    Vr = tnf.num_vars
+    lbs, ubs = [], []
+    for d in range(D):
+        lb = tnf.lb0.copy()
+        ub = tnf.ub0.copy()
+        for v in rng.choice(Vr, size=5, replace=False):
+            if lb[v] < ub[v]:
+                lo = rng.integers(lb[v], ub[v] + 1)
+                hi = rng.integers(lo, ub[v] + 1)
+                lb[v], ub[v] = lo, hi
+        lbs.append(lb)
+        ubs.append(ub)
+
+    np_results = []
+    for lb, ub in zip(lbs, ubs):
+        l, u = lb.copy(), ub.copy()
+        table.propagate(l, u)
+        np_results.append((l, u))
+
+    lbp = np.stack([plan.lb0.copy() for _ in range(D)])
+    ubp = np.stack([plan.ub0.copy() for _ in range(D)])
+    for d in range(D):
+        lbp[d, plan.perm] = lbs[d]
+        ubp[d, plan.perm] = ubs[d]
+    jl, ju, sweeps = jax.jit(kernels.fixpoint_wac1)(
+        jnp.asarray(lbp, jnp.int32), jnp.asarray(ubp, jnp.int32))
+    al, au, aiters = jax.jit(kernels.fixpoint)(
+        jnp.asarray(lbp, jnp.int32), jnp.asarray(ubp, jnp.int32))
+    jl, ju = np.asarray(jl), np.asarray(ju)
+
+    for d in range(D):
+        nl, nu = np_results[d]
+        bot_np = (nl > nu).any()
+        bot_wc = (jl[d] > ju[d]).any()
+        assert bot_np == bot_wc, f"dive {d}: bot mismatch"
+        if not bot_np:
+            kept = ~plan.dropped
+            np.testing.assert_array_equal(jl[d][plan.perm][kept], nl[kept],
+                                          err_msg=f"dive {d} lb")
+            np.testing.assert_array_equal(ju[d][plan.perm][kept], nu[kept],
+                                          err_msg=f"dive {d} ub")
+    # The warp-fixpoint analog must do its outer convergence in fewer
+    # sweeps than pure-Jacobi AC-1 (that is its entire point).
+    assert int(np.asarray(sweeps).max()) < int(np.asarray(aiters).max())
+
+
+def test_engine_wac1_end_to_end():
+    """-fp wac1 end to end: same optimum as ac1, different (smaller)
+    outer iteration counts."""
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/sudoku_opt4.fzn"))
+    base = dict(num_dives=8, subproblems_power=5, max_depth=64)
+    r_ac1 = BatchedSolver(tnf, EngineConfig(**base)).solve(
+        timeout_s=120, chunk=16)
+    r_wac = BatchedSolver(tnf, EngineConfig(fp_mode="wac1", **base)).solve(
+        timeout_s=120, chunk=16)
+    assert r_ac1.status == r_wac.status == "optimal"
+    assert r_ac1.objective == r_wac.objective == -16
+    assert r_wac.fixpoint_iterations != r_ac1.fixpoint_iterations
+
+
+def test_wac1_threshold_falls_back_to_ac1():
+    tnf = compile_model(parse_fzn_text(
+        "var 1..3: x;\nsolve minimize x;\n"))
+    s = BatchedSolver(tnf, EngineConfig(fp_mode="wac1",
+                                        wac1_threshold=10**6))
+    assert s.cfg.fp_mode == "fixpoint"

@@ -32,10 +32,15 @@ def run(cfg: Configuration) -> int:
     stats.stat("problem_path", f'"{cfg.problem_path}"')
     stats.stat("solver", '"turbo-tpu"')
     from . import __version__
-    stats.stat("version", f'"{__version__}"')
-    stats.stat("hardware", f'"{_hardware_name()}"')
+    stats.stat("version", f'"{cfg.version_tag or __version__}"')
+    stats.stat("hardware", f'"{cfg.hardware or _hardware_name()}"')
     stats.stat("arch", f'"{cfg.arch}"')
-    stats.stat("fixpoint", '"ac1"')
+    # Echo the requested fixpoint policy (config.hpp:243-247); the cpu
+    # oracle always runs ac1, like the reference's CPU arch.
+    stats.stat("fixpoint",
+               f'"{cfg.fixpoint if cfg.arch != "cpu" else "ac1"}"')
+    if cfg.fixpoint == "wac1" and cfg.arch != "cpu":
+        stats.stat("wac1_threshold", cfg.wac1_threshold)
     stats.stat("subproblems_factor", cfg.subproblems_factor)
     stats.stat("seed", cfg.seed)
     stats.stat("eps_var_order", f'"{cfg.eps_var_order}"')
@@ -151,7 +156,10 @@ def run(cfg: Configuration) -> int:
                          eps_var_order=cfg.eps_var_order,
                          eps_value_order=cfg.eps_value_order,
                          seed=cfg.seed,
-                         enumerate_all=enumerate_all)
+                         enumerate_all=enumerate_all,
+                         fp_mode=("wac1" if cfg.fixpoint == "wac1"
+                                  else "fixpoint"),
+                         wac1_threshold=cfg.wac1_threshold)
     if arch == "multi":
         from .parallel.mesh import ShardedSolver
 

@@ -99,8 +99,13 @@ class EngineConfig:
     # (no convergence loop, pure lockstep), sound because entailment and
     # failure detection stay exact; un-decided nodes simply propagate
     # further on the next step before branching.
+    # "wac1": per-op-group local fixpoints, Gauss-Seidel over groups
+    # (warp-fixpoint analog, config.cpp:25-27); falls back to AC-1 when
+    # the instance has fewer than wac1_threshold propagators.
     fp_mode: str = "fixpoint"
     fp_fixed_iters: int = 2
+    wac1_threshold: int = 0
+    wac1_inner_cap: int = 16
     # Distinct strategy for the diving phase (push_eps_strategy,
     # common_solving.hpp:652-667); "default" = none.
     eps_var_order: str = "default"
@@ -150,6 +155,12 @@ class BatchedSolver:
         self.plan = build_plan(tnf)
         self._apply_strategy_config()
         self.kernels = PropagatorKernels(self.plan)
+        if (config.fp_mode == "wac1"
+                and self.plan.num_real_props < config.wac1_threshold):
+            # Reference semantics: WAC1 behaves as AC1 below the
+            # threshold (config.cpp:27-28).
+            self.cfg = config = dataclasses.replace(config,
+                                                    fp_mode="fixpoint")
         D = config.num_dives
         k = config.subproblems_power
         if k <= 0:
@@ -328,6 +339,9 @@ class BatchedSolver:
         # II. Propagate (to fixpoint, or a fixed number of sweeps).
         if cfg.fp_mode == "fixed":
             lb, ub, iters = self.kernels.fixed_sweeps(lb, ub, cfg.fp_fixed_iters)
+        elif cfg.fp_mode == "wac1":
+            lb, ub, iters = self.kernels.fixpoint_wac1(
+                lb, ub, cfg.fp_max_iters, cfg.wac1_inner_cap)
         else:
             lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
         bot = self.kernels.is_bot(lb, ub)
@@ -526,6 +540,7 @@ class BatchedSolver:
             program_key = ("step_n", n, self.plan.shape_signature,
                            self.cfg.num_dives, self.cfg.max_depth,
                            self.cfg.fp_mode, self.cfg.fp_fixed_iters,
+                           self.cfg.wac1_inner_cap,
                            self.cfg.fp_max_iters, self.axis_name,
                            self.cfg.enumerate_all)
             self._step_n_cache[n] = cached_compile(

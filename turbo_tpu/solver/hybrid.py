@@ -69,8 +69,13 @@ class HybridSolver:
             k = max(1, int(np.ceil(np.log2(total))))
         self.k = min(k, 30)
         self.num_sub_total = 1 << self.k
-        self._fp = jax.jit(lambda l, u: self.kernels.fixpoint(
-            l, u, config.fp_max_iters))
+        if (config.fp_mode == "wac1"
+                and self.plan.num_real_props >= config.wac1_threshold):
+            self._fp = jax.jit(lambda l, u: self.kernels.fixpoint_wac1(
+                l, u, config.fp_max_iters, config.wac1_inner_cap))
+        else:
+            self._fp = jax.jit(lambda l, u: self.kernels.fixpoint(
+                l, u, config.fp_max_iters))
         self._post = jax.jit(lambda l, u: (
             self.kernels.is_bot(l, u), self.kernels.all_entailed(l, u)))
 

@@ -446,6 +446,95 @@ class PropagatorKernels:
         ub2 = jnp.concatenate(new_u_parts + [tail_u], axis=1)
         return lb2, ub2
 
+    # -- WAC1: per-group local fixpoints ------------------------------
+
+    def _group_local_fixpoint(self, lb, ub, gi: int, inner_cap: int):
+        """Run op-group `gi` to a local fixpoint (capped), scatter-meet
+        updates directly into the store so later groups see them.
+
+        The TPU analog of the reference's warp fixpoint
+        (`warp_fixpoint`, barebones_dive_and_solve.hpp:955 /
+        fixpoint.hpp WAC1): a warp's 32 propagators iterate to local
+        convergence before the next warp runs; here the "warp" is an
+        op-group and the scatter-meet (`.at[].max/min`, duplicate
+        indices combined monotonically) replaces CUDA atomic min/max.
+        Returns (lb, ub, inner_iters (D,))."""
+        op, a, b = self.group_slices[gi]
+        xs, ys, zs = self.all_x[a:b], self.all_y[a:b], self.all_z[a:b]
+
+        def body(carry):
+            lb, ub, _, it, iters = carry
+            cxl, cxu, cyl, cyu, czl, czu = _deduce_group(
+                op, lb[:, xs], ub[:, xs], lb[:, ys], ub[:, ys],
+                lb[:, zs], ub[:, zs])
+            lb2 = lb.at[:, xs].max(cxl).at[:, ys].max(cyl).at[:, zs].max(czl)
+            ub2 = ub.at[:, xs].min(cxu).at[:, ys].min(cyu).at[:, zs].min(czu)
+            ch = jnp.any((lb2 != lb) | (ub2 != ub), axis=1)
+            bot = jnp.any(lb2 > ub2, axis=1)
+            return lb2, ub2, ch & ~bot, it + 1, iters + ch.astype(I32)
+
+        def cond(carry):
+            return jnp.logical_and(carry[2].any(), carry[3] < inner_cap)
+
+        zero_lane = lb[:, 0] * 0
+        init = (lb, ub, zero_lane == 0, zero_lane[0], zero_lane)
+        lb, ub, _, _, iters = jax.lax.while_loop(cond, body, init)
+        return lb, ub, iters
+
+    def sweep_wac1(self, lb, ub, inner_cap: int = 16):
+        """One WAC1 sweep: each op-group reaches a local fixpoint in
+        turn (Gauss-Seidel over groups - later groups read earlier
+        groups' updates within the same sweep), then one pass of the
+        native element/member/linear propagators via scatter-meet.
+        Returns (lb, ub, inner_iters (D,))."""
+        D = lb.shape[0]
+        iters = jnp.zeros(D, dtype=I32)
+        for gi in range(len(self.group_slices)):
+            lb, ub, it = self._group_local_fixpoint(lb, ub, gi, inner_cap)
+            iters = iters + it
+        if self.E:
+            il, ih, rl, rh = self._element_cands(lb, ub)
+            lb = lb.at[:, self.e_idx].max(il.astype(I32))
+            ub = ub.at[:, self.e_idx].min(ih.astype(I32))
+            lb = lb.at[:, self.e_res].max(rl.astype(I32))
+            ub = ub.at[:, self.e_res].min(rh.astype(I32))
+        if self.M:
+            xl, xh, bl, bh = self._member_cands(lb, ub)
+            lb = lb.at[:, self.m_x].max(xl).at[:, self.m_b].max(bl)
+            ub = ub.at[:, self.m_x].min(xh).at[:, self.m_b].min(bh)
+        for lbk in self.lin_buckets:
+            l_b, l_op, l_rhs, l_coef, l_var = lbk
+            tl, th, b_lo, b_hi = self._linear_bucket_cands(lb, ub, lbk)
+            flat_var = l_var.reshape(-1)
+            lb = lb.at[:, flat_var].max(tl).at[:, l_b].max(b_lo)
+            ub = ub.at[:, flat_var].min(th).at[:, l_b].min(b_hi)
+        return lb, ub, iters
+
+    def fixpoint_wac1(self, lb, ub, max_iters: int = 100000,
+                      inner_cap: int = 16):
+        """WAC1 fixpoint: outer loop of `sweep_wac1` until no change.
+        Returns (lb, ub, sweeps (D,) int32) - sweeps counts outer
+        iterations, comparable to `fixpoint`'s AC-1 count."""
+        if self.P == 0:
+            return lb, ub, jnp.zeros(lb.shape[0], dtype=I32)
+
+        def cond(carry):
+            _, _, _, changed, it = carry
+            return jnp.logical_and(changed.any(), it < max_iters)
+
+        def body(carry):
+            lb, ub, sweeps, changed, it = carry
+            lb2, ub2, _ = self.sweep_wac1(lb, ub, inner_cap)
+            dchanged = jnp.any((lb2 != lb) | (ub2 != ub), axis=1)
+            bot = jnp.any(lb2 > ub2, axis=1)
+            sweeps = sweeps + changed.astype(I32)
+            return lb2, ub2, sweeps, dchanged & ~bot, it + 1
+
+        zero_lane = lb[:, 0] * 0
+        init = (lb, ub, zero_lane, zero_lane == 0, zero_lane[0])
+        lb, ub, sweeps, _, _ = jax.lax.while_loop(cond, body, init)
+        return lb, ub, sweeps + 1
+
     # -- fixpoint -----------------------------------------------------
 
     def fixpoint(self, lb, ub, max_iters: int = 100000):

@@ -38,6 +38,12 @@ class Configuration:
     force_ternarize: bool = False
     disable_network_analysis: bool = False
     checkpoint_path: str = ""
+    fixpoint: str = "ac1"                # -fp <ac1|wac1>
+    wac1_threshold: int = 0              # -wac1_threshold
+    version_tag: str = ""                # -version (echo-only, config.cpp:36)
+    hardware: str = ""                   # -hardware (echo-only, config.cpp:37)
+    only_global_memory: bool = False     # -globalmem (no-op on TPU: there is
+                                         # no shared-vs-global placement axis)
 
 
 def parse_args(argv=None) -> Configuration:
@@ -48,6 +54,9 @@ def parse_args(argv=None) -> Configuration:
     p.add_argument("problem", help="path to .fzn model")
     p.add_argument("-t", type=int, default=0, metavar="MS",
                    help="timeout in milliseconds (0 = none)")
+    p.add_argument("-timeout", type=int, default=None, metavar="MS",
+                   help="same as -t; overrides -t when both are given "
+                        "(config.cpp:13)")
     p.add_argument("-a", action="store_true",
                    help="print all solutions (satisfaction)")
     p.add_argument("-n", type=int, default=1, metavar="N",
@@ -62,12 +71,15 @@ def parse_args(argv=None) -> Configuration:
     p.add_argument("-arch", default="tpu",
                    choices=["cpu", "tpu", "barebones", "gpu", "hybrid", "multi"],
                    help="solver architecture")
-    p.add_argument("-or", dest="or_nodes", type=int, default=64,
-                   help="parallel dives per device (GPU blocks analog)")
-    p.add_argument("-p", dest="and_nodes", type=int, default=0,
-                   help="accepted for compatibility (threads)")
-    p.add_argument("-sub", type=int, default=0, metavar="N",
-                   help="create 2^N EPS subproblems")
+    p.add_argument("-or", dest="or_nodes", type=int, default=None,
+                   help="parallel dives per device (GPU blocks analog); "
+                        "default 64")
+    p.add_argument("-p", dest="and_nodes", type=int, default=None,
+                   help="same as -or (config.cpp:22); mutually exclusive "
+                        "with -or")
+    p.add_argument("-sub", type=int, default=-1, metavar="N",
+                   help="create 2^N EPS subproblems (-1 = auto, "
+                        "config.cpp:30)")
     p.add_argument("-subfactor", type=int, default=300,
                    help="subproblems per dive lane (auto -sub)")
     p.add_argument("-cutnodes", type=int, default=0,
@@ -78,29 +90,56 @@ def parse_args(argv=None) -> Configuration:
     p.add_argument("-eps_var_order", default="default")
     p.add_argument("-eps_value_order", default="default")
     p.add_argument("-fp", default="ac1", choices=["ac1", "wac1"],
-                   help="fixpoint variant (wac1 accepted; engine uses ac1)")
-    p.add_argument("-wac1_threshold", type=int, default=0)
+                   help="fixpoint variant: ac1 = Jacobi sweep over all "
+                        "propagators; wac1 = per-group local fixpoints "
+                        "(warp-fixpoint analog, config.cpp:25-27)")
+    p.add_argument("-wac1_threshold", type=int, default=0,
+                   help="use ac1 when fewer propagators than this "
+                        "(config.cpp:28)")
     p.add_argument("-disable_simplify", action="store_true")
     p.add_argument("-force_ternarize", action="store_true")
     p.add_argument("-disable_network_analysis", action="store_true")
+    p.add_argument("-globalmem", action="store_true",
+                   help="accepted for compatibility (config.cpp:43); no "
+                        "shared-vs-global memory axis exists on TPU")
+    p.add_argument("-hardware", default="", metavar="DESC",
+                   help='hardware description echoed in statistics '
+                        '("CPU;RAM;TPU", config.cpp:37)')
     p.add_argument("-checkpoint", default="", metavar="PATH",
                    help="periodically save search state; resume if PATH exists")
-    from .. import __version__
-    p.add_argument("-version", action="version",
-                   version=f"turbo-tpu {__version__}")
+    p.add_argument("-version", default="", metavar="TAG",
+                   help="version identifier echoed in statistics for "
+                        "replicability (config.cpp:36)")
+    p.add_argument("--version", action="version",
+                   version=_version_string())
     a = p.parse_args(argv)
+    if a.or_nodes is not None and a.and_nodes is not None:
+        p.error("the options -or and -p cannot be used at the same time")
+    or_nodes = a.or_nodes if a.or_nodes is not None else \
+        (a.and_nodes if a.and_nodes is not None else 64)
     arch = {"barebones": "tpu", "gpu": "tpu"}.get(a.arch, a.arch)
     return Configuration(
-        problem_path=a.problem, arch=arch, timeout_ms=a.t,
+        problem_path=a.problem, arch=arch,
+        timeout_ms=(a.timeout if a.timeout is not None else a.t),
         print_all_solutions=a.a,
         stop_after_n_solutions=(0 if a.a else a.n),
         print_intermediate=a.i or a.a, free_search=a.f,
         print_statistics=a.s, verbose=a.v, print_ast=a.ast,
-        or_nodes=a.or_nodes, subproblems_power=a.sub,
+        or_nodes=or_nodes,
+        subproblems_power=(0 if a.sub < 0 else a.sub),
         subproblems_factor=a.subfactor, stop_after_n_nodes=a.cutnodes,
         seed=a.seed, max_depth=a.stack,
         eps_var_order=a.eps_var_order, eps_value_order=a.eps_value_order,
         checkpoint_path=a.checkpoint,
         disable_simplify=a.disable_simplify,
         force_ternarize=a.force_ternarize,
-        disable_network_analysis=a.disable_network_analysis)
+        disable_network_analysis=a.disable_network_analysis,
+        fixpoint=a.fp, wac1_threshold=a.wac1_threshold,
+        version_tag=a.version, hardware=a.hardware,
+        only_global_memory=a.globalmem)
+
+
+def _version_string() -> str:
+    from .. import __version__
+
+    return f"turbo-tpu {__version__}"
