@@ -34,27 +34,39 @@ def log(msg):
     print(f"% {msg}", file=sys.stderr, flush=True)
 
 
-INIT_TIMEOUT_S = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+INIT_TIMEOUT_S = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "300"))
+INIT_ATTEMPTS = int(os.environ.get("BENCH_INIT_ATTEMPTS", "3"))
+INIT_BACKOFF_S = float(os.environ.get("BENCH_INIT_BACKOFF_S", "45"))
 
 
 def _init_devices():
-    """Initialize the JAX backend with a watchdog: the axon TPU tunnel
-    can hang indefinitely on init; rather than produce no bench line at
-    all, fall back to the CPU platform (clearly flagged)."""
+    """Initialize the JAX backend with a watchdog.
+
+    The axon TPU tunnel can hang indefinitely on init AND can recover
+    after minutes of downtime, so one failed probe must not condemn the
+    round's perf artifact: retry with backoff before any CPU fallback,
+    and make the fallback loud (the caller marks the JSON line
+    invalid_for_perf)."""
     import subprocess
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=INIT_TIMEOUT_S, check=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        log(f"device init probe failed ({type(e).__name__}); "
-            "falling back to CPU platform")
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        return jax, "cpu-fallback"
+    for attempt in range(1, INIT_ATTEMPTS + 1):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=INIT_TIMEOUT_S, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            import jax
+            return jax, "default"
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            log(f"device init probe {attempt}/{INIT_ATTEMPTS} failed "
+                f"({type(e).__name__})")
+            if attempt < INIT_ATTEMPTS:
+                time.sleep(INIT_BACKOFF_S * attempt)
+    log("!!! TPU unavailable after all probes; falling back to the CPU "
+        "platform — this run is NOT a performance measurement")
     import jax
-    return jax, "default"
+    jax.config.update("jax_platforms", "cpu")
+    return jax, "cpu-fallback"
 
 
 def main():
@@ -127,8 +139,20 @@ def main():
         "vs_baseline": round(vs, 3),
     }
     if backend_mode != "default":
+        out["invalid_for_perf"] = True
         out["note"] = ("CPU-platform fallback (TPU tunnel unavailable); "
                        "not comparable to TPU baseline")
+        # Preserve the last known TPU measurement so the round's perf
+        # record is never just a meaningless CPU number.
+        try:
+            base = json.load(open(baseline_path))
+            out["last_known_tpu"] = {
+                "value": base.get("value"),
+                "metric": base.get("metric"),
+                "recorded": base.get("recorded", "round 1"),
+            }
+        except Exception:
+            pass
     print(json.dumps(out), flush=True)
 
 
