@@ -58,13 +58,11 @@ def main():
                 r = solve(tnf, timeout_s=args.timeout)
             else:
                 from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
-                # Small explicit EPS split: the auto subproblem count
-                # (subfactor 300, config.hpp:76) suits large instances;
-                # on the tiny regression fixtures it buries a ~300-node
-                # proof tree under thousands of redundant dives
-                # (pat1: 0.1s at 2^4 subproblems vs 40s at 2^13).
-                cfgc = EngineConfig(num_dives=args.or_nodes, max_depth=256,
-                                    fp_max_iters=16, subproblems_power=6)
+                # Auto EPS split: the engine's root-tree probe shrinks
+                # the subproblem power on tiny proof trees by itself
+                # (probe_tree_power, engine.py), so no per-harness pin.
+                cfgc = EngineConfig(num_dives=args.or_nodes,
+                                    fp_max_iters=16)
                 if args.arch == "multi":
                     from turbo_tpu.parallel.mesh import ShardedSolver
                     s = ShardedSolver(tnf, cfgc)

@@ -1,0 +1,138 @@
+"""Multi-host EPS tests: steal-plan determinism, range reseeding,
+external-bound injection, and a real two-process CPU run over
+jax.distributed (SURVEY.md §7 stage 6)."""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from turbo_tpu.frontend.fzn import parse_fzn
+from turbo_tpu.compile.model import compile_model
+from turbo_tpu.parallel.multihost import plan_host_steal, reseed_ranges
+from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+INF = 1 << 30
+
+
+def test_plan_host_steal_basic():
+    # Host 1 dry, host 0 rich: host 1 steals half of host 0's richest
+    # shard; plan must be identical no matter which host computes it.
+    next_mat = np.array([[10, 50], [99, 99]], dtype=np.int64)
+    limit_mat = np.array([[40, 60], [99, 99]], dtype=np.int64)
+    idle = np.array([False, True])
+    moves = plan_host_steal(next_mat, limit_mat, idle)
+    assert moves == [(1, 0, 0, 25, 40)]
+    # Donor keeps [10,25), thief takes [25,40): the union is unchanged.
+
+
+def test_plan_host_steal_no_donor():
+    next_mat = np.array([[40], [99]], dtype=np.int64)
+    limit_mat = np.array([[41], [99]], dtype=np.int64)  # rem=1: too small
+    idle = np.array([False, True])
+    assert plan_host_steal(next_mat, limit_mat, idle) == []
+
+
+def test_plan_host_steal_two_thieves_disjoint():
+    next_mat = np.array([[0], [99], [99]], dtype=np.int64)
+    limit_mat = np.array([[100], [99], [99]], dtype=np.int64)
+    idle = np.array([False, True, True])
+    moves = plan_host_steal(next_mat, limit_mat, idle)
+    # Sequential plan: ranges must not overlap.
+    assert len(moves) == 2
+    spans = sorted((m[3], m[4]) for m in moves)
+    assert spans[0][1] <= spans[1][0]
+
+
+def test_reseed_ranges_covers_stolen_range():
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/sudoku_opt3.fzn"))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=6,
+                                        max_depth=64), num_shards=2)
+    import jax
+    sts = [s.init_state(shard_idx=i) for i in range(2)]
+    st = jax.tree.map(lambda *x: np.concatenate(
+        [np.asarray(v) for v in x]), *sts)
+    out = reseed_ranges(st, 4, 2, s.plan.lb0, s.plan.ub0, 40, 64)
+    covered = set()
+    for sh in range(2):
+        base = int(out.subp[sh * 4])
+        lim = int(out.sub_limit[sh * 4])
+        covered.update(range(base, lim))
+    assert covered == set(range(40, 64))
+
+
+def test_ext_bound_prunes_like_remote_incumbent():
+    """Injecting ext_bound=B makes the engine search only for solutions
+    strictly better than B (the multi-host bound-sharing contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/sudoku_opt3.fzn"))  # opt -2
+
+    class Injected(BatchedSolver):
+        def __init__(self, tnf, cfg, bound):
+            super().__init__(tnf, cfg)
+            self._bound = bound
+
+        def init_state(self, shard_idx=0):
+            st = super().init_state(shard_idx)
+            return st._replace(ext_bound=jnp.full_like(st.ext_bound,
+                                                       self._bound))
+
+    cfg = EngineConfig(num_dives=8, subproblems_power=5, max_depth=64)
+    r1 = Injected(tnf, cfg, -1).solve(timeout_s=120, chunk=16)
+    assert r1.status == "optimal" and r1.objective == -2
+    r2 = Injected(tnf, cfg, -2).solve(timeout_s=120, chunk=16)
+    # Remote already has -2: nothing strictly better exists; the local
+    # search drains exhaustively without a local incumbent.
+    assert r2.best_lb is None and r2.exhaustive
+
+
+WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+from turbo_tpu.parallel.multihost import MultiHostSolver, init_distributed
+init_distributed(f"localhost:{port}", n, pid)
+from turbo_tpu.frontend.fzn import parse_fzn
+from turbo_tpu.compile.model import compile_model
+from turbo_tpu.solver.engine import EngineConfig
+tnf = compile_model(parse_fzn(
+    "/root/reference/benchmarks/test_data/sudoku_opt3.fzn"))
+s = MultiHostSolver(tnf, EngineConfig(num_dives=4, subproblems_power=6,
+                                      max_depth=64))
+r = s.solve(timeout_s=300, chunk=8)
+print(f"RESULT {pid} {r.status} {r.objective} {int(r.exhaustive)}",
+      flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_solve_agrees():
+    """Two real processes over jax.distributed (CPU, localhost): both
+    must report the same global optimum, exhaustively."""
+    with socket.socket() as sk:
+        sk.bind(("localhost", 0))
+        port = sk.getsockname()[1]
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", WORKER, str(i), "2", str(port)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, (out, err)
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert line, (out, err)
+        outs.append(line[0].split())
+    for pid, parts in enumerate(outs):
+        assert parts[2] == "optimal", outs
+        assert parts[3] == "-2", outs
+        assert parts[4] == "1", outs

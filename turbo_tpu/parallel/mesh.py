@@ -113,12 +113,21 @@ class ShardedSolver:
     """BatchedSolver spread over a 1-D 'dives' mesh of devices."""
 
     def __init__(self, tnf: Tnf, config: EngineConfig = EngineConfig(),
-                 devices=None):
+                 devices=None, shard_offset: int = 0,
+                 total_shards: Optional[int] = None):
+        """`devices` default to all visible devices. In a multi-host run
+        (parallel/multihost.py) each process builds a ShardedSolver over
+        its *local* devices with `shard_offset`/`total_shards` set so the
+        global subproblem space is partitioned across all hosts' shards;
+        single-process callers leave both at their defaults."""
         self.devices = list(devices if devices is not None else jax.devices())
         self.n_shards = len(self.devices)
+        self.shard_offset = shard_offset
+        self.total_shards = (total_shards if total_shards is not None
+                             else self.n_shards)
         self.mesh = Mesh(np.array(self.devices), ("dives",))
         self.solver = BatchedSolver(tnf, config, axis_name="dives",
-                                    num_shards=self.n_shards)
+                                    num_shards=self.total_shards)
         self.plan = self.solver.plan
         self.opt = self.solver.opt
         self.num_sub_total = self.solver.num_sub_total
@@ -128,7 +137,7 @@ class ShardedSolver:
 
     def init_state(self) -> SearchState:
         """Global state: shard i's lanes hold subproblem range i."""
-        shards = [self.solver.init_state(shard_idx=i)
+        shards = [self.solver.init_state(shard_idx=self.shard_offset + i)
                   for i in range(self.n_shards)]
         glob = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *shards)
         sharding = NamedSharding(self.mesh, P("dives"))

@@ -1,0 +1,254 @@
+"""Multi-host EPS distribution (SURVEY.md §7 stage 6).
+
+The reference is a single-GPU binary; scaling past one host there means
+running independent solvers. Here each *process* (host) runs a
+ShardedSolver over its local devices and owns a contiguous macro-range
+of the global 2^k EPS subproblem space; hosts cooperate over DCN with
+two host-side exchanges (no cross-host device collectives - ICI traffic
+stays inside each host's mesh, DCN carries only scalars/ranges):
+
+  1. incumbent bound: the allgathered global best is met into the
+     engine's `ext_bound` state field (the DCN analog of the grid-atomic
+     `appx_best_bound`, barebones_dive_and_solve.hpp:996-997);
+  2. work stealing: a deterministic steal plan computed by *every* host
+     from the same allgathered (next_sub, sub_limit) snapshot - donors
+     shrink their range, thieves reseed from the stolen half, no extra
+     messaging round. Timing races only ever duplicate subproblems
+     (donor may pass `mid` before applying the shrink), never skip
+     them, so exhaustiveness is preserved.
+
+Run one process per host with `init_distributed(...)` (wraps
+`jax.distributed.initialize`); tests exercise two CPU processes on
+localhost.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..compile.tnf import Tnf
+from ..solver.engine import IDLE, EngineConfig
+from ..solver.result import EngineResult
+from .mesh import ShardedSolver
+
+INF = 1 << 30
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed for a multi-host run. Returns True
+    when a multi-process runtime was set up (False = single process,
+    nothing to do). Safe to call once per process, before first JAX
+    use."""
+    if num_processes in (None, 1):
+        return False
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def plan_host_steal(next_mat: np.ndarray, limit_mat: np.ndarray,
+                    idle: np.ndarray) -> List[Tuple[int, int, int, int, int]]:
+    """Deterministic cross-host steal plan.
+
+    next_mat/limit_mat: (H, S) int64 per-host per-local-shard subproblem
+    cursors and range ends (padded shards have next==limit); idle: (H,)
+    bool, host has no running lanes. Every host computes this from the
+    same snapshot, so donors and thieves agree without a second round.
+
+    Returns moves [(thief_host, donor_host, donor_shard, mid, hi)]:
+    donor shard's range shrinks to [.., mid), thief reseeds [mid, hi).
+    """
+    next_mat = next_mat.copy()
+    limit_mat = limit_mat.copy()
+    rem = limit_mat - next_mat
+    dry = idle & (rem.sum(axis=1) <= 0)
+    moves = []
+    for thief in np.nonzero(dry)[0]:
+        rem = limit_mat - next_mat
+        rem[dry, :] = 0          # dry hosts (incl. served thieves) can't donate
+        d_host, d_shard = np.unravel_index(int(np.argmax(rem)), rem.shape)
+        give = int(rem[d_host, d_shard]) // 2
+        if give < 1:
+            continue
+        hi = int(limit_mat[d_host, d_shard])
+        mid = hi - give
+        limit_mat[d_host, d_shard] = mid
+        dry[thief] = False
+        moves.append((int(thief), int(d_host), int(d_shard), mid, hi))
+    return moves
+
+
+def reseed_ranges(st, D: int, n_shards: int, lb0: np.ndarray,
+                  ub0: np.ndarray, lo: int, hi: int):
+    """Reseed ALL local shards of a dry host with the stolen range
+    [lo, hi): contiguous per-shard sub-ranges, same lane layout as
+    init_state (numpy state surgery, mirrors mesh.rebalance_ranges)."""
+    per = max(1, (hi - lo) // n_shards)
+    out = {f: getattr(st, f).copy()
+           for f in ("phase", "subp", "next_sub", "sub_limit", "depth",
+                     "strat", "snap_strat", "remaining", "lb", "ub",
+                     "root_lb", "root_ub")}
+    for s in range(n_shards):
+        sl = slice(s * D, (s + 1) * D)
+        base = min(lo + s * per, hi)
+        limit = hi if s == n_shards - 1 else min(base + per, hi)
+        lane_sub = base + np.arange(D, dtype=np.int32)
+        out["subp"][sl] = lane_sub
+        out["phase"][sl] = np.where(lane_sub < limit, 0, IDLE)  # DIVE=0
+        out["next_sub"][sl] = min(base + D, limit)
+        out["sub_limit"][sl] = limit
+        out["depth"][sl] = 0
+        out["strat"][sl] = 0
+        out["snap_strat"][sl] = 0
+        out["remaining"][sl] = st.kpow[sl]
+        out["lb"][sl] = lb0[None, :]
+        out["ub"][sl] = ub0[None, :]
+        out["root_lb"][sl] = lb0[None, :]
+        out["root_ub"][sl] = ub0[None, :]
+    return st._replace(**out)
+
+
+class MultiHostSolver:
+    """Per-host ShardedSolver + DCN bound sharing and work stealing.
+
+    Construct AFTER init_distributed(); every process must call solve()
+    collectively (the allgathers are collective operations)."""
+
+    def __init__(self, tnf: Tnf, config: EngineConfig = EngineConfig(),
+                 exchange_every_chunks: int = 2):
+        import jax
+
+        self.pid = jax.process_index()
+        self.n_hosts = jax.process_count()
+        local = jax.local_devices()
+        # Global shard layout: host h owns shard ids [off_h, off_h+S_h).
+        # Homogeneous hosts assumed for the offset math; heterogeneous
+        # counts would need an allgather of S here.
+        S = len(local)
+        self.sharded = ShardedSolver(tnf, config, devices=local,
+                                     shard_offset=self.pid * S,
+                                     total_shards=self.n_hosts * S)
+        self.plan = self.sharded.plan
+        self.opt = self.sharded.opt
+        self.exchange_every = max(1, exchange_every_chunks)
+        self.S = S
+
+    def _allgather(self, vec: np.ndarray) -> np.ndarray:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(vec))
+
+    def solve(self, timeout_s: float = 1e18, chunk: int = 16,
+              stop_after_n_solutions: int = 1,
+              verbose: bool = False) -> EngineResult:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = self.sharded
+        D = sh.solver.cfg.num_dives
+        sharding = NamedSharding(sh.mesh, P("dives"))
+        if self.plan.root_unsat:
+            return EngineResult.unsat(sh)
+        st = sh.init_state()
+        jax.block_until_ready(st.lb)
+        step_n = sh.make_step_n(chunk)
+        t0 = time.monotonic()
+        first = True
+        stopped = False
+        redistributions = 0
+        chunks = 0
+        # Every break decision below is computed from the *allgathered*
+        # snapshot, identically on every host, at exchange ticks that
+        # are synchronized by iteration count - the allgather is a
+        # collective, so no host may leave the loop unilaterally (a lone
+        # breaker would deadlock the others' next collective).
+        while True:
+            st = step_n(st)
+            jax.block_until_ready(st.phase)
+            if first:
+                first = False
+                t0 = time.monotonic()
+            chunks += 1
+            if chunks % self.exchange_every:
+                continue
+            phase, bbs, ns, slim = jax.device_get(
+                (st.phase, st.best_bound, st.next_sub, st.sub_limit))
+            local_idle = bool((phase == IDLE).all())
+            # DCN exchange: [best, idle, want_stop, next_s..., limit_s...]
+            snap = np.empty(3 + 2 * self.S, dtype=np.int64)
+            snap[0] = int(bbs.min())
+            snap[1] = int(local_idle)
+            snap[2] = int(time.monotonic() - t0 > timeout_s)
+            for s in range(self.S):
+                snap[3 + s] = int(ns[s * D])
+                snap[3 + self.S + s] = int(slim[s * D])
+            allsnap = self._allgather(snap)
+            gbest = int(allsnap[:, 0].min())
+            idle = allsnap[:, 1].astype(bool)
+            next_mat = allsnap[:, 3:3 + self.S]
+            limit_mat = allsnap[:, 3 + self.S:]
+            if self.opt and gbest < int(np.asarray(
+                    jax.device_get(st.ext_bound))[0]):
+                eb = jnp.full((self.S * D,), gbest, dtype=jnp.int32)
+                st = st._replace(ext_bound=jax.device_put(eb, sharding))
+            moves = plan_host_steal(next_mat, limit_mat, idle)
+            my_moves = [m for m in moves
+                        if m[0] == self.pid or m[1] == self.pid]
+            if my_moves:
+                st_np = jax.device_get(st)
+                for thief, d_host, d_shard, mid, hi in my_moves:
+                    if d_host == self.pid:
+                        sl = slice(d_shard * D, (d_shard + 1) * D)
+                        new_lim = st_np.sub_limit.copy()
+                        new_lim[sl] = np.minimum(new_lim[sl], mid)
+                        st_np = st_np._replace(sub_limit=new_lim)
+                    if thief == self.pid:
+                        st_np = reseed_ranges(st_np, D, self.S,
+                                              self.plan.lb0,
+                                              self.plan.ub0, mid, hi)
+                        redistributions += 1
+                st = jax.tree.map(
+                    lambda x: jax.device_put(x, sharding), st_np)
+            if allsnap[:, 2].any():          # some host hit the timeout
+                stopped = True
+                break
+            if (not self.opt and stop_after_n_solutions > 0
+                    and gbest < INF):
+                # Satisfaction: some host found a solution; stop
+                # everywhere (exhaustive only if all ranges drained).
+                stopped = not bool(idle.all())
+                break
+            if idle.all() and not moves:
+                break
+            if verbose and self.pid == 0:
+                print(f"% host0: chunks={chunks} best={int(bbs.min())}")
+        res = EngineResult.from_state(sh, st, stopped,
+                                       time.monotonic() - t0)
+        res.eps_redistributions = redistributions
+        # Global reduction: every host reports the global objective and
+        # global exhaustiveness (the host holding the best solution also
+        # holds its store).
+        has_sol = res.status in ("sat", "optimal")
+        fin = self._allgather(np.array(
+            [res.objective if res.objective is not None else INF,
+             int(res.exhaustive), int(has_sol)], dtype=np.int64))
+        gobj = int(fin[:, 0].min())
+        res.exhaustive = bool(fin[:, 1].all())
+        any_sol = bool(fin[:, 2].any())
+        if self.opt and gobj < INF:
+            res.objective = gobj
+            res.status = "optimal" if res.exhaustive else "sat"
+        elif not self.opt:
+            if any_sol:
+                res.status = "sat" if res.status != "optimal" else res.status
+            else:
+                res.status = "unsat" if res.exhaustive else "unknown"
+        return res

@@ -15,7 +15,7 @@ import numpy as np
 
 from .engine import BatchedSolver, SearchState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: SearchState gained ext_bound (multi-host)
 
 
 def save_state(solver: BatchedSolver, st: SearchState, path: str,

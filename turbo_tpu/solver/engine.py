@@ -38,10 +38,8 @@ from .propagate_jax import PropagatorKernels
 I32 = jnp.int32
 DIVE, SOLVE, IDLE = 0, 1, 2
 
-_VO_CODE = {"input_order": 0, "first_fail": 1, "anti_first_fail": 2,
-            "smallest": 3, "largest": 4}
-_VALO_CODE = {"indomain_min": 0, "indomain_max": 1, "indomain_split": 2,
-              "indomain_reverse_split": 3}
+from .strategy import VO_CODE as _VO_CODE, VALO_CODE as _VALO_CODE
+from . import strategy as _strategy
 
 
 class SearchState(NamedTuple):
@@ -85,6 +83,11 @@ class SearchState(NamedTuple):
     sub_limit: jnp.ndarray # (D,) this shard's subproblem range end
     pscale: jnp.ndarray    # (D,) float32: live propagators per sweep
     eps_strat: jnp.ndarray # (D,) 1 if an EPS dive strategy is prepended
+    # External incumbent bound injected by a *remote host* over DCN
+    # (multi-host EPS, parallel/multihost.py); INF when single-host.
+    # The local pmin cannot see other processes' meshes, so the host
+    # loop meets the allgathered global bound into this field.
+    ext_bound: jnp.ndarray # (D,) int32 (replicated)
 
 
 @dataclasses.dataclass
@@ -92,7 +95,10 @@ class EngineConfig:
     num_dives: int = 64          # D: lanes per device (GPU: number of blocks)
     subproblems_power: int = 0   # k: 2^k subproblems; 0 -> auto from factor
     subproblems_factor: int = 300  # reference default (config.hpp:76)
-    max_depth: int = 256         # decision stack depth (MAXD)
+    # Decision stack depth (MAXD); 0 = auto-size from the instance so
+    # overflow can never cost exhaustiveness (the reference provisions
+    # MAX_SEARCH_DEPTH=10000 entries, barebones_dive_and_solve.hpp:14).
+    max_depth: int = 0
     fp_max_iters: int = 10000
     # "fixpoint": AC-1 until no change (reference semantics).
     # "fixed": exactly fp_fixed_iters sweeps per step - cheaper per node
@@ -114,6 +120,42 @@ class EngineConfig:
     # All-solutions mode (-a / -n>1 on satisfaction problems): count
     # only all-singleton stores, splitting entailed boxes further.
     enumerate_all: bool = False
+
+
+def probe_tree_power(tnf, probe_nodes: int = 2000,
+                     probe_timeout_s: float = 0.5):
+    """Root-tree size probe for EPS auto-splitting: run the sequential
+    oracle briefly; if it exhausts the whole tree in N nodes, the proof
+    tree is tiny and the factor-based 2^k split (config.hpp:76) would
+    bury it under redundant dive prefixes. Returns ceil(log2(N))+1, or
+    None when the tree is bigger than the probe budget (use the factor
+    split). Probe cost is bounded by probe_nodes/probe_timeout_s and is
+    negligible against any solve that needs the device."""
+    from . import oracle
+    try:
+        r = oracle.solve(tnf, timeout_s=probe_timeout_s,
+                         node_limit=probe_nodes)
+    except Exception:
+        return None
+    if not r.stats.exhaustive:
+        return None
+    return max(1, int(np.ceil(np.log2(max(2, r.stats.nodes)))) + 1)
+
+
+def auto_max_depth(plan) -> int:
+    """Decision-stack depth that provably covers the instance: splits
+    only ever halve or fix a var's interval, so a branch can hold at
+    most sum(ceil(log2(width_v))) decisions before every var is fixed.
+    Quantized for compiled-shape sharing; capped at the reference's
+    MAX_SEARCH_DEPTH=10000 (barebones_dive_and_solve.hpp:14) - overflow
+    past the cap still degrades soundly to a non-exhaustive answer."""
+    from .plan import quantize
+    lb0 = plan.lb0[:plan.n_active].astype(np.int64)
+    ub0 = plan.ub0[:plan.n_active].astype(np.int64)
+    w = ub0 - lb0 + 1
+    live = w > 1
+    bits = int(np.ceil(np.log2(np.clip(w[live], 2, None))).sum())
+    return int(min(10000, max(128, quantize(bits + 8))))
 
 
 def apply_strategy_config(plan, cfg) -> bool:
@@ -161,11 +203,18 @@ class BatchedSolver:
             # threshold (config.cpp:27-28).
             self.cfg = config = dataclasses.replace(config,
                                                     fp_mode="fixpoint")
+        if config.max_depth <= 0:
+            self.cfg = config = dataclasses.replace(
+                config, max_depth=auto_max_depth(self.plan))
         D = config.num_dives
         k = config.subproblems_power
         if k <= 0:
             total = max(1, config.subproblems_factor * D * num_shards)
             k = max(1, int(np.ceil(np.log2(total))))
+            if not config.enumerate_all:
+                kp = probe_tree_power(tnf)
+                if kp is not None:
+                    k = min(k, kp)
         # Every shard must own a non-empty subproblem range, or an
         # explicitly pinned tiny -sub could leave shards claiming
         # exhaustiveness over work they never received.
@@ -209,10 +258,7 @@ class BatchedSolver:
             vo = s_vo[si]
             pos_key = jnp.broadcast_to(
                 jnp.arange(ids.shape[0], dtype=I32)[None, :], l.shape)
-            size = u - l
-            key = jnp.select(
-                [vo == 0, vo == 1, vo == 2, vo == 3],
-                [pos_key, size, -size, l], -u)
+            key = _strategy.split_key(jnp, vo, pos_key, l, u)
             pos = jnp.argmin(jnp.where(ok, key, big), axis=1)
             founds.append(ok.any(axis=1))
             vars_.append(ids[pos])
@@ -230,17 +276,11 @@ class BatchedSolver:
 
     @staticmethod
     def _children(valo, lo, hi):
-        """LightBranch children per value order (barebones:355-384)."""
-        mid = lo + (hi - lo) // 2
-        c0l = jnp.select([valo == 0, valo == 1, valo == 2, valo == 3],
-                         [lo, hi, lo, mid + 1])
-        c0u = jnp.select([valo == 0, valo == 1, valo == 2, valo == 3],
-                         [lo, hi, mid, hi])
-        c1l = jnp.select([valo == 0, valo == 1, valo == 2, valo == 3],
-                         [lo + 1, lo, mid + 1, lo])
-        c1u = jnp.select([valo == 0, valo == 1, valo == 2, valo == 3],
-                         [hi, hi - 1, hi, mid])
-        return c0l.astype(I32), c0u.astype(I32), c1l.astype(I32), c1u.astype(I32)
+        """LightBranch children per value order (barebones:355-384);
+        table shared with the oracle via solver.strategy."""
+        c0l, c0u, c1l, c1u = _strategy.children(jnp, valo, lo, hi)
+        return (c0l.astype(I32), c0u.astype(I32),
+                c1l.astype(I32), c1u.astype(I32))
 
     # -- state --------------------------------------------------------
 
@@ -302,6 +342,7 @@ class BatchedSolver:
                             dtype=jnp.float32),
             eps_strat=jnp.full((D,), int(getattr(self, "has_eps", False)),
                                dtype=I32),
+            ext_bound=jnp.full((D,), INF, dtype=I32),
         )
 
     # -- the step function -------------------------------------------
@@ -327,8 +368,9 @@ class BatchedSolver:
         lb, ub = st.lb, st.ub
         best_bound = st.best_bound
 
-        # I. Tighten the objective from the incumbent (barebones:752-771).
-        g = best_bound.min()
+        # I. Tighten the objective from the incumbent (barebones:752-771);
+        # ext_bound carries a remote host's incumbent (multi-host EPS).
+        g = jnp.minimum(best_bound.min(), st.ext_bound[0])
         if self.axis_name is not None:
             g = jax.lax.pmin(g, self.axis_name)
         lim = jnp.minimum(g, best_bound) - 1
@@ -373,7 +415,9 @@ class BatchedSolver:
         dmax = jnp.maximum(st.dmax, jnp.where(act, st.depth, 0))
 
         # III. Solutions (all propagators entailed; objective read at lb).
-        impr = act & sol & jnp.where(is_opt, lb[:, obj] < best_bound,
+        impr = act & sol & jnp.where(is_opt,
+                                     lb[:, obj] < jnp.minimum(
+                                         best_bound, st.ext_bound[0]),
                                      (True if cfg.enumerate_all
                                       else ~st.has_best))
         best_lb = jnp.where(impr[:, None], lb, st.best_lb)
@@ -525,7 +569,7 @@ class BatchedSolver:
             deds=deds, dmax=dmax, solved_sub=solved_sub,
             skipped_sub=skipped_sub, obj=st.obj, is_opt=st.is_opt,
             kpow=st.kpow, sub_limit=st.sub_limit, pscale=st.pscale,
-            eps_strat=st.eps_strat)
+            eps_strat=st.eps_strat, ext_bound=st.ext_bound)
 
     # -- host driver --------------------------------------------------
 

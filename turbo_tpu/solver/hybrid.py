@@ -32,8 +32,6 @@ from .plan import build_plan
 from .propagate_jax import PropagatorKernels
 from .result import EngineResult
 
-_VO = {"input_order": 0, "first_fail": 1, "anti_first_fail": 2,
-       "smallest": 3, "largest": 4}
 
 
 from .oracle import branch_children as _children  # LightBranch semantics
@@ -58,7 +56,11 @@ class HybridSolver:
         self.tnf = tnf
         self.cfg = config
         self.plan = build_plan(tnf)
-        from .engine import apply_strategy_config
+        from .engine import apply_strategy_config, auto_max_depth
+        if config.max_depth <= 0:
+            import dataclasses as _dc
+            config = _dc.replace(config, max_depth=auto_max_depth(self.plan))
+        self.cfg = config
         self.has_eps = apply_strategy_config(self.plan, config)
         self.kernels = PropagatorKernels(self.plan)
         self.opt = self.plan.is_opt
@@ -67,6 +69,11 @@ class HybridSolver:
         if k <= 0:
             total = max(1, config.subproblems_factor * C)
             k = max(1, int(np.ceil(np.log2(total))))
+            if not config.enumerate_all:
+                from .engine import probe_tree_power
+                kp = probe_tree_power(tnf)
+                if kp is not None:
+                    k = min(k, kp)
         self.k = min(k, 30)
         self.num_sub_total = 1 << self.k
         if (config.fp_mode == "wac1"
@@ -84,6 +91,8 @@ class HybridSolver:
     def _select(self, lb: np.ndarray, ub: np.ndarray, strat: int):
         """First strategy >= cursor with a splittable var; smallest
         position tie-break (mirrors engine._select in numpy)."""
+        from . import strategy as _st
+
         for si in range(strat, len(self.plan.strategies)):
             s = self.plan.strategies[si]
             ids = s.ids
@@ -91,19 +100,11 @@ class HybridSolver:
             ok = (l < u) & (l > NINF) & (u < INF)
             if not ok.any():
                 continue
-            vo = _VO.get(s.var_order, 0)
-            if vo == 0:
-                key = np.arange(len(ids), dtype=np.int64)
-            elif vo == 1:
-                key = (u - l).astype(np.int64)
-            elif vo == 2:
-                key = -(u - l).astype(np.int64)
-            elif vo == 3:
-                key = l.astype(np.int64)
-            else:
-                key = -u.astype(np.int64)
+            vo = _st.VO_CODE.get(s.var_order, 0)
             # int64 keys: an int32 key would wrap the big sentinel to -1
             # and select padding slots.
+            key = _st.split_key(np, vo, np.arange(len(ids), dtype=np.int64),
+                                l.astype(np.int64), u.astype(np.int64))
             pos = int(np.argmin(np.where(ok, key, np.iinfo(np.int64).max)))
             return si, int(ids[pos]), s.val_order
         return None

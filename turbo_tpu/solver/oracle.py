@@ -372,54 +372,38 @@ def _splittable(lb, ub, ids=None):
 
 def select_var(strategies: List[Strategy], lb, ub, start_strategy: int = 0):
     """Returns (strategy_index, var_id, val_order) or None if no
-    splittable variable remains in any strategy."""
+    splittable variable remains in any strategy. Key semantics shared
+    with the batched engine via solver.strategy (one spec, two array
+    libraries)."""
+    from . import strategy as _st
+
     for si in range(start_strategy, len(strategies)):
         s = strategies[si]
         ids = s.var_ids
         if ids is None:
             mask = _splittable(lb, ub)
-            cand = np.nonzero(mask)[0]
             doms_l, doms_u = lb, ub
         else:
             mask = _splittable(lb, ub, ids)
-            cand = np.nonzero(mask)[0]
             doms_l, doms_u = lb[ids], ub[ids]
-        if len(cand) == 0:
+        if not mask.any():
             continue
-        vo = s.var_order
-        if vo == "input_order":
-            pos = cand[0]
-        elif vo == "first_fail":
-            sizes = doms_u[cand] - doms_l[cand]
-            pos = cand[np.argmin(sizes)]
-        elif vo == "anti_first_fail":
-            sizes = doms_u[cand] - doms_l[cand]
-            pos = cand[np.argmax(sizes)]
-        elif vo == "smallest":
-            pos = cand[np.argmin(doms_l[cand])]
-        elif vo == "largest":
-            pos = cand[np.argmax(doms_u[cand])]
-        else:
-            pos = cand[0]
-        var = int(pos) if ids is None else int(ids[pos])
+        vo = _st.VO_CODE.get(s.var_order, 0)
+        pos_key = np.arange(len(doms_l), dtype=np.int64)
+        key = _st.split_key(np, vo, pos_key, doms_l.astype(np.int64),
+                            doms_u.astype(np.int64))
+        pos = int(np.argmin(np.where(mask, key, np.iinfo(np.int64).max)))
+        var = pos if ids is None else int(ids[pos])
         return si, var, s.val_order
     return None
 
 
 def branch_children(val_order: str, lo: int, hi: int):
     """Two child intervals, left explored first (LightBranch semantics,
-    barebones_dive_and_solve.hpp:355-384)."""
-    if val_order == "indomain_min":
-        return (lo, lo), (lo + 1, hi)
-    if val_order == "indomain_max":
-        return (hi, hi), (lo, hi - 1)
-    if val_order == "indomain_split":
-        mid = lo + (hi - lo) // 2
-        return (lo, mid), (mid + 1, hi)
-    if val_order == "indomain_reverse_split":
-        mid = lo + (hi - lo) // 2
-        return (mid + 1, hi), (lo, mid)
-    return (lo, lo), (lo + 1, hi)
+    barebones_dive_and_solve.hpp:355-384); table in solver.strategy."""
+    from .strategy import branch_children as _bc
+
+    return _bc(val_order, lo, hi)
 
 
 def solve(tnf: Tnf, timeout_s: float = 1e18, stop_after_n_solutions: int = 1,

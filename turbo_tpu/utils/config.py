@@ -31,7 +31,8 @@ class Configuration:
     subproblems_factor: int = 300        # -subfactor
     stop_after_n_nodes: int = 0          # -cutnodes (0 = inf)
     seed: int = 1                        # -seed
-    max_depth: int = 256                 # -stack analog: decision stack depth
+    max_depth: int = 0                   # -stack analog: decision stack
+                                         # depth; 0 = auto from instance
     eps_var_order: str = "default"
     eps_value_order: str = "default"
     disable_simplify: bool = False
@@ -85,8 +86,10 @@ def parse_args(argv=None) -> Configuration:
     p.add_argument("-cutnodes", type=int, default=0,
                    help="stop after N nodes (0 = no limit)")
     p.add_argument("-seed", type=int, default=1)
-    p.add_argument("-stack", type=int, default=256, metavar="DEPTH",
-                   help="decision stack depth per dive")
+    p.add_argument("-stack", type=int, default=0, metavar="DEPTH",
+                   help="decision stack depth per dive (0 = auto-size "
+                        "from the instance; reference: stack KB, "
+                        "config.cpp:35)")
     p.add_argument("-eps_var_order", default="default")
     p.add_argument("-eps_value_order", default="default")
     p.add_argument("-fp", default="ac1", choices=["ac1", "wac1"],
