@@ -378,14 +378,18 @@ class BatchedSolver:
         newu = jnp.minimum(ub[:, obj], lim)
         ub = ub.at[:, obj].set(jnp.where(in_solve, newu, ub[:, obj]))
 
-        # II. Propagate (to fixpoint, or a fixed number of sweeps).
-        if cfg.fp_mode == "fixed":
-            lb, ub, iters = self.kernels.fixed_sweeps(lb, ub, cfg.fp_fixed_iters)
-        elif cfg.fp_mode == "wac1":
-            lb, ub, iters = self.kernels.fixpoint_wac1(
-                lb, ub, cfg.fp_max_iters, cfg.wac1_inner_cap)
-        else:
-            lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
+        # II. Propagate (to fixpoint, or a fixed number of sweeps). The
+        # named scope tags every propagation HLO op so the profiler can
+        # measure the FIXPOINT/SEARCH split (solver/profile_split.py).
+        with jax.named_scope("fixpoint"):
+            if cfg.fp_mode == "fixed":
+                lb, ub, iters = self.kernels.fixed_sweeps(
+                    lb, ub, cfg.fp_fixed_iters)
+            elif cfg.fp_mode == "wac1":
+                lb, ub, iters = self.kernels.fixpoint_wac1(
+                    lb, ub, cfg.fp_max_iters, cfg.wac1_inner_cap)
+            else:
+                lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
         bot = self.kernels.is_bot(lb, ub)
         ent = self.kernels.all_entailed(lb, ub) & ~bot
 
@@ -589,7 +593,22 @@ class BatchedSolver:
                            self.cfg.enumerate_all)
             self._step_n_cache[n] = cached_compile(
                 step_n, (self.init_state(),), program_key, verbose=True)
+            self._step_n_jit = getattr(self, "_step_n_jit", {})
+            self._step_n_jit[n] = step_n
         return self._step_n_cache[n]
+
+    def step_hlo_text(self, n: int):
+        """Optimized-HLO text of the compiled chunk program (for the
+        profiler-measured FIXPOINT/SEARCH split), or None."""
+        fn = self._step_n_cache.get(n)
+        try:
+            if hasattr(fn, "as_text"):
+                return fn.as_text()
+            # Plain-jit path (CPU): compile explicitly once.
+            jit_fn = getattr(self, "_step_n_jit", {}).get(n, fn)
+            return jit_fn.lower(self.init_state()).compile().as_text()
+        except Exception:
+            return None
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 16,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
@@ -619,6 +638,8 @@ class BatchedSolver:
         steps = 0
         stopped = False
         first_call = True
+        from . import profile_split
+        prof_pending = profile_split.enabled()
         last_ckpt = time.monotonic()
         best_seen = None
         best_obj_time = 0.0
@@ -643,6 +664,34 @@ class BatchedSolver:
             timers.transfer_g2c += time.monotonic() - tg
             timers.record_chunk(device_dur, int(fpit.sum()), phase, chunk,
                                 time.monotonic() - t0, measured=not warmup)
+            # One-shot profiler measurement of the FIXPOINT/SEARCH
+            # split (statistics.hpp:83-130): the profiled chunks are
+            # real solve progress, not replays, so the only cost is
+            # trace overhead. Skipped for tiny programs where the LSQ
+            # fit is accurate enough and trace overhead would dominate.
+            if (prof_pending and not warmup and device_dur >= 0.15
+                    and not (phase == IDLE).all()):
+                prof_pending = False
+                hlo = self.step_hlo_text(chunk)
+                if hlo is not None:
+                    from . import profile_split
+
+                    def _profiled_chunk():
+                        nonlocal st, steps
+                        td2 = time.monotonic()
+                        st = step_n(st)
+                        jax.block_until_ready(st.phase)
+                        steps += chunk
+                        fp2 = jax.device_get(st.fpit)
+                        timers.record_chunk(
+                            time.monotonic() - td2, int(fp2.sum()),
+                            jax.device_get(st.phase), chunk,
+                            time.monotonic() - t0)
+
+                    frac = profile_split.measure_fixpoint_fraction(
+                        _profiled_chunk, hlo)
+                    if frac is not None:
+                        timers.measured_fix_frac = frac
             bbm = int(bbs.min())
             if on_improve is not None and bbm < last_best:
                 last_best = bbm
