@@ -697,3 +697,17 @@ def test_wac1_threshold_falls_back_to_ac1():
     s = BatchedSolver(tnf, EngineConfig(fp_mode="wac1",
                                         wac1_threshold=10**6))
     assert s.cfg.fp_mode == "fixpoint"
+
+
+def test_auto_num_dives_occupancy_analog():
+    """-or 0 auto-sizing (reference occupancy default, barebones:527-
+    547): big working sets get fewer lanes, small ones more, always a
+    power of two in [64, 1024]."""
+    from turbo_tpu.solver.plan import auto_num_dives
+    wp = compile_model(parse_fzn(
+        "/root/reference/benchmarks/example_wordpress7_500.fzn"))
+    tr = compile_model(parse_fzn("/root/reference/benchmarks/trains15.fzn"))
+    dw, dt = auto_num_dives(wp), auto_num_dives(tr)
+    assert 256 <= dw <= 1024
+    assert 64 <= dt <= dw
+    assert dw & (dw - 1) == 0 and dt & (dt - 1) == 0

@@ -149,7 +149,15 @@ def run(cfg: Configuration) -> int:
               "solutions on-device; switching to the hybrid arch to "
               "print each solution", file=sys.stderr)
         arch = "hybrid"
-    econf = EngineConfig(num_dives=cfg.or_nodes,
+    num_dives = cfg.or_nodes
+    if num_dives == 0:
+        # -or 0 / absent: auto-size the dive batch, the TPU analog of
+        # the reference's occupancy default (barebones:527-547).
+        from .solver.plan import auto_num_dives
+        num_dives = auto_num_dives(tnf)
+        if cfg.verbose:
+            print(f"% auto-sized num_blocks={num_dives}", file=sys.stderr)
+    econf = EngineConfig(num_dives=num_dives,
                          subproblems_power=cfg.subproblems_power,
                          subproblems_factor=cfg.subproblems_factor,
                          max_depth=cfg.max_depth,

@@ -595,6 +595,8 @@ class BatchedSolver:
                 step_n, (self.init_state(),), program_key, verbose=True)
             self._step_n_jit = getattr(self, "_step_n_jit", {})
             self._step_n_jit[n] = step_n
+            self._step_n_pk = getattr(self, "_step_n_pk", {})
+            self._step_n_pk[n] = program_key
         return self._step_n_cache[n]
 
     def step_hlo_text(self, n: int):
@@ -604,7 +606,17 @@ class BatchedSolver:
         try:
             if hasattr(fn, "as_text"):
                 return fn.as_text()
-            # Plain-jit path (CPU): compile explicitly once.
+            from .exec_cache import cached_hlo_text
+            pk = getattr(self, "_step_n_pk", {}).get(n)
+            if pk is not None:
+                txt = cached_hlo_text(pk)
+                if txt:
+                    return txt
+            # Plain-jit path: compile explicitly once. CPU only — on
+            # an accelerator this would be a full (minutes-long)
+            # recompile in the middle of a solve.
+            if jax.devices()[0].platform != "cpu":
+                return None
             jit_fn = getattr(self, "_step_n_jit", {}).get(n, fn)
             return jit_fn.lower(self.init_state()).compile().as_text()
         except Exception:

@@ -60,6 +60,18 @@ def cache_key(program_key) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
 
+def cached_hlo_text(program_key) -> Optional[str]:
+    """Optimized-HLO sidecar for a cached executable, or None."""
+    pk = cache_key(program_key)
+    try:
+        target = open(os.path.join(CACHE_DIR, f"{pk}.alias")).read().strip()
+        base = target[:-4] if target.endswith(".pkl") else target
+        with open(os.path.join(CACHE_DIR, f"{base}.hlo")) as f:
+            return f.read()
+    except Exception:
+        return None
+
+
 def cached_compile(jitted: Callable, example_args: tuple,
                    program_key, verbose: bool = False) -> Callable:
     """Compile `jitted` for `example_args`, reusing a disk-cached
@@ -73,6 +85,29 @@ def cached_compile(jitted: Callable, example_args: tuple,
     if backend in (None, "cpu"):
         return jitted  # CPU compiles are fast; don't churn the disk.
 
+    from jax.experimental import serialize_executable as se
+
+    def _load(path, key):
+        ser, in_tree, out_tree = pickle.loads(open(path, "rb").read())
+        fn = se.deserialize_and_load(ser, in_tree, out_tree)
+        if verbose:
+            print(f"% loaded cached executable {key}", file=sys.stderr)
+        return fn
+
+    # Fast path: the (code hash, backend, program key) alias skips
+    # tracing+lowering entirely — lowering the chunk program takes
+    # minutes at real sizes, dwarfing the sub-second deserialize.
+    pk = cache_key(program_key)
+    alias = os.path.join(CACHE_DIR, f"{pk}.alias")
+    if os.path.exists(alias):
+        try:
+            target = open(alias).read().strip()
+            return _load(os.path.join(CACHE_DIR, target), f"{pk}->{target}")
+        except Exception as e:
+            if verbose:
+                print(f"% executable alias load failed ({e}); relowering",
+                      file=sys.stderr)
+
     # Key on the lowered program itself (plus backend): stable across
     # source edits that don't change the compiled computation.
     try:
@@ -82,16 +117,23 @@ def cached_compile(jitted: Callable, example_args: tuple,
             (jax.__version__ + _backend_key() + hlo).encode()).hexdigest()[:32]
     except Exception:
         lowered = None
-        key = cache_key(program_key)
+        key = pk
     path = os.path.join(CACHE_DIR, f"{key}.pkl")
-    from jax.experimental import serialize_executable as se
+
+    def _alias(key):
+        try:
+            os.makedirs(CACHE_DIR, exist_ok=True)
+            tmp = alias + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(f"{key}.pkl")
+            os.replace(tmp, alias)
+        except Exception:
+            pass
 
     if os.path.exists(path):
         try:
-            ser, in_tree, out_tree = pickle.loads(open(path, "rb").read())
-            fn = se.deserialize_and_load(ser, in_tree, out_tree)
-            if verbose:
-                print(f"% loaded cached executable {key}", file=sys.stderr)
+            fn = _load(path, key)
+            _alias(key)
             return fn
         except Exception as e:
             if verbose:
@@ -108,6 +150,15 @@ def cached_compile(jitted: Callable, example_args: tuple,
             with open(tmp, "wb") as f:
                 f.write(pickle.dumps(payload))
             os.replace(tmp, path)
+            _alias(key)
+            try:
+                # Optimized-HLO sidecar: profile_split needs op_name
+                # metadata, which deserialized executables can't
+                # reproduce (no as_text); persist it at compile time.
+                with open(os.path.join(CACHE_DIR, f"{key}.hlo"), "w") as f:
+                    f.write(compiled.as_text())
+            except Exception:
+                pass
             if verbose:
                 print(f"% cached executable {key}", file=sys.stderr)
         except Exception as e:

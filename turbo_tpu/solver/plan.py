@@ -27,6 +27,7 @@ mapped back through ``inv_perm`` for output.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -149,6 +150,43 @@ class Plan:
             (self.M, 0 if self.m_cnt is None else self.m_cnt.shape[1]),
             tuple(b[3].shape for b in self.lin_buckets),
         )
+
+
+def auto_num_dives(tnf: Tnf, budget_bytes: Optional[int] = None,
+                   lo: int = 64, hi: int = 1024) -> int:
+    """TPU analog of the reference's occupancy-based default block count.
+
+    With ``-or 0`` (the reference's config.hpp:74 default) Turbo sizes
+    its grid as max_blocks_per_sm * num_SMs from the CUDA occupancy API
+    (configure_gpu_barebones, barebones_dive_and_solve.hpp:527-547) and
+    clamps by a global-memory budget (barebones:557-585).  The TPU
+    equivalent of "occupancy" is the propagation sweep's per-iteration
+    working set vs the chip's fast-memory scale: lanes are free until
+    the sweep's tensors outgrow the bandwidth/compile budget, after
+    which more dives only add latency.  Pick the largest power-of-two D
+    whose estimated per-sweep footprint fits the budget (HBM-streaming
+    scale, not VMEM residency: the element-table window masks (D,E,T)
+    dominate real instances and are streamed).
+
+    The per-dive estimate counts the store planes (2V), the six
+    consolidated role gathers (18P), candidate planes (~8P), and the
+    native element/member/linear working tensors (propagate_jax.py
+    iteration())."""
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get(
+            "TURBO_TPU_WS_BUDGET", 256 << 20))
+    V = tnf.num_vars
+    P = max(tnf.num_props, 1)
+    elem_cells = sum(len(e.values) for e in tnf.elements)
+    memb_cells = 8 * len(tnf.members)
+    lin_cells = 3 * sum(len(l.vars) for l in tnf.linears)
+    per_dive = 4 * (2 * V + 26 * P
+                    + 2 * (elem_cells + memb_cells + lin_cells))
+    d = max(budget_bytes // max(per_dive, 1), 1)
+    p = lo
+    while p * 2 <= d and p * 2 <= hi:
+        p *= 2
+    return p
 
 
 def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:

@@ -26,7 +26,8 @@ class Configuration:
     print_statistics: bool = False       # -s
     verbose: int = 0                     # -v (counted)
     print_ast: bool = False              # -ast
-    or_nodes: int = 64                   # -or (dives per device)
+    or_nodes: int = 0                    # -or (dives per device; 0 = auto,
+                                         # config.hpp:74 + occupancy default)
     subproblems_power: int = 0           # -sub (2^n subproblems)
     subproblems_factor: int = 300        # -subfactor
     stop_after_n_nodes: int = 0          # -cutnodes (0 = inf)
@@ -119,7 +120,7 @@ def parse_args(argv=None) -> Configuration:
     if a.or_nodes is not None and a.and_nodes is not None:
         p.error("the options -or and -p cannot be used at the same time")
     or_nodes = a.or_nodes if a.or_nodes is not None else \
-        (a.and_nodes if a.and_nodes is not None else 64)
+        (a.and_nodes if a.and_nodes is not None else 0)
     arch = {"barebones": "tpu", "gpu": "tpu"}.get(a.arch, a.arch)
     return Configuration(
         problem_path=a.problem, arch=arch,
