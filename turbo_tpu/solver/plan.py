@@ -174,7 +174,7 @@ def auto_num_dives(tnf: Tnf, budget_bytes: Optional[int] = None,
     iteration())."""
     if budget_bytes is None:
         budget_bytes = int(os.environ.get(
-            "TURBO_TPU_WS_BUDGET", 256 << 20))
+            "TURBO_TPU_WS_BUDGET", 128 << 20))
     V = tnf.num_vars
     P = max(tnf.num_props, 1)
     elem_cells = sum(len(e.values) for e in tnf.elements)

@@ -41,6 +41,18 @@ _OPNAME_RE = re.compile(
 _SUFFIX_RE = re.compile(r'(?:\.\d+|_\d+)+$')
 
 
+def event_instr_name(event_name: str) -> str:
+    """Instruction name from a profiler event name.
+
+    CPU PJRT emits bare names ("dot_general.1"); the TPU device plane
+    emits the whole instruction text ("%fusion.3 = s32[256]{...} ...").
+    Take the token before " = " (if any), then strip the "%" sigil and
+    any trailing type annotation after ":".
+    """
+    head = event_name.split(" = ", 1)[0]
+    return head.split(":")[0].strip().lstrip("%")
+
+
 def enabled() -> bool:
     return os.environ.get("TURBO_TPU_PROFILE_SPLIT", "1") != "0"
 
@@ -105,10 +117,12 @@ def measure_fixpoint_fraction(run_chunk, hlo_text: str,
                 for line in plane.lines:
                     if is_cpu and not line.name.startswith("tf_"):
                         continue  # python / compiler-pass lines
+                    if is_dev and line.name not in ("XLA Ops",):
+                        continue  # modules/async lines double-count
                     for e in line.events:
                         if e.duration_ns <= 0:
                             continue
-                        name = e.name.split(":")[0].lstrip("%")
+                        name = event_instr_name(e.name)
                         cls = _classify(name, inside, outside, base_class)
                         if cls is True:
                             fix_ns += e.duration_ns
