@@ -28,6 +28,11 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "60"))
 DIVES = int(os.environ.get("BENCH_DIVES", "256"))
 FP_CAP = int(os.environ.get("BENCH_FP_CAP", "16"))
+# Steps fused into one device program. The TPU profile measured ~83ms
+# of host/relay dispatch overhead per program call vs ~166ms of device
+# compute for a 16-step chunk (33% overhead); 64 steps amortizes it to
+# ~11%. The exec cache must be warmed for the chosen chunk size.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "64"))
 
 
 def log(msg):
@@ -88,12 +93,12 @@ def main():
                                              max_depth=256,
                                              fp_max_iters=FP_CAP))
     st = solver.init_state()
-    step_n = solver.make_step_n(16)
+    step_n = solver.make_step_n(CHUNK)
     t0 = time.monotonic()
     st = step_n(st)
     jax.block_until_ready(st.lb)
     compile_s = time.monotonic() - t0
-    log(f"XLA compile + first 16 steps: {compile_s:.1f}s")
+    log(f"XLA compile + first {CHUNK} steps: {compile_s:.1f}s")
 
     # Steady-state measurement.
     import numpy as np
@@ -106,7 +111,7 @@ def main():
     measure_s = max(15.0, min(MEASURE_S, remaining))
     while time.monotonic() - t0 < measure_s:
         st = step_n(st)
-        steps += 16
+        steps += CHUNK
         if steps % 256 == 0:
             jax.block_until_ready(st.lb)
     jax.block_until_ready(st.lb)
