@@ -61,8 +61,11 @@ def main():
                 # Auto EPS split: the engine's root-tree probe shrinks
                 # the subproblem power on tiny proof trees by itself
                 # (probe_tree_power, engine.py), so no per-harness pin.
-                cfgc = EngineConfig(num_dives=args.or_nodes,
-                                    fp_max_iters=16)
+                nd = args.or_nodes
+                if nd == 0:
+                    from turbo_tpu.solver.plan import auto_num_dives
+                    nd = auto_num_dives(tnf)
+                cfgc = EngineConfig(num_dives=nd, fp_max_iters=16)
                 if args.arch == "multi":
                     from turbo_tpu.parallel.mesh import ShardedSolver
                     s = ShardedSolver(tnf, cfgc)
