@@ -211,7 +211,7 @@ class ShardedSolver:
             td = time.monotonic()
             st = step_n(st)
             jax.block_until_ready(st.phase)
-            device_dur = time.monotonic() - td
+            dispatch_dur = time.monotonic() - td
             steps += chunk
             warmup = first_call
             if first_call:
@@ -223,7 +223,11 @@ class ShardedSolver:
             # One transfer per chunk (relay round trips have a ~2ms floor).
             phase, sols, fpit, bbs = jax.device_get(
                 (st.phase, st.sols, st.fpit, st.best_bound))
-            timers.transfer_g2c += time.monotonic() - tg
+            fetch_dur = time.monotonic() - tg
+            # Deserialized-executable outputs don't block on the relay
+            # (see engine.solve): fold the real wait back into device time.
+            device_dur = dispatch_dur + max(0.0, fetch_dur - 0.01)
+            timers.transfer_g2c += min(fetch_dur, 0.01)
             timers.record_chunk(device_dur, int(fpit.sum()), phase, chunk,
                                 time.monotonic() - t0, measured=not warmup)
             bbm = int(bbs.min())

@@ -660,7 +660,7 @@ class BatchedSolver:
             td = time.monotonic()
             st = step_n(st)
             jax.block_until_ready(st.phase)
-            device_dur = time.monotonic() - td
+            dispatch_dur = time.monotonic() - td
             steps += chunk
             warmup = first_call
             if first_call:
@@ -673,7 +673,13 @@ class BatchedSolver:
             # device round trip, so fetch all host-loop inputs at once.
             phase, sols, fpit, bbs = jax.device_get(
                 (st.phase, st.sols, st.fpit, st.best_bound))
-            timers.transfer_g2c += time.monotonic() - tg
+            fetch_dur = time.monotonic() - tg
+            # On the axon relay, block_until_ready on a *deserialized*
+            # executable's outputs returns immediately; the real wait
+            # then lands in the fetch. Attribute anything beyond a
+            # transfer allowance back to device time.
+            device_dur = dispatch_dur + max(0.0, fetch_dur - 0.01)
+            timers.transfer_g2c += min(fetch_dur, 0.01)
             timers.record_chunk(device_dur, int(fpit.sum()), phase, chunk,
                                 time.monotonic() - t0, measured=not warmup)
             # One-shot profiler measurement of the FIXPOINT/SEARCH
