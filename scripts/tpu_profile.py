@@ -76,6 +76,9 @@ def main():
             jax.block_until_ready(st.phase)
 
     from jax.profiler import ProfileData
+    from turbo_tpu.solver.profile_split import event_instr_name
+    print(f"% trace dir: {d} (analyze offline with "
+          f"scripts/analyze_trace.py)", flush=True)
     dur = collections.Counter()
     for f in glob.glob(d + "/**/*.xplane.pb", recursive=True):
         pd = ProfileData.from_file(f)
@@ -87,9 +90,11 @@ def main():
             for line in plane.lines:
                 if is_cpu and not line.name.startswith("tf_"):
                     continue
+                if is_dev and line.name != "XLA Ops":
+                    continue  # module/async lines double-count
                 for e in line.events:
                     if e.duration_ns > 0:
-                        dur[e.name.split(":")[0].lstrip("%")] += e.duration_ns
+                        dur[event_instr_name(e.name)] += e.duration_ns
 
     total = sum(dur.values())
     fix = other = 0
