@@ -474,9 +474,15 @@ class BatchedSolver:
                           jnp.where(parent_cur == 0, st.depth, parent_rope1),
                           -1)
 
+        rows = jnp.arange(D, dtype=I32)
+
         def push(dst, vals):
-            upd = jnp.where(solve_br, vals, jnp.take_along_axis(dst, dd[:, None], 1)[:, 0])
-            return jax.vmap(lambda row, i, v: row.at[i].set(v))(dst, dd, upd)
+            # One batched scatter per stack (not a vmapped per-row
+            # dynamic update: that lowers to a full (D, MAXD) masked
+            # rewrite - measurable at wordpress's MAXD~2400).
+            upd = jnp.where(solve_br, vals,
+                            jnp.take_along_axis(dst, dd[:, None], 1)[:, 0])
+            return dst.at[rows, dd].set(upd)
 
         dec_var = push(st.dec_var, var)
         dec_l0 = push(st.dec_l0, c0l)
@@ -494,8 +500,8 @@ class BatchedSolver:
         evar = jnp.where(embed, var, 0)
         el = jnp.where(embed, el, NINF)
         eu = jnp.where(embed, eu, INF)
-        lb = jax.vmap(lambda row, i, v: row.at[i].max(v))(lb, evar, el)
-        ub = jax.vmap(lambda row, i, v: row.at[i].min(v))(ub, evar, eu)
+        lb = lb.at[rows, evar].max(el)
+        ub = ub.at[rows, evar].min(eu)
 
         # VII. Backtracking by ropes (barebones:826-864).
         bt = act & leaf & in_solve
@@ -507,10 +513,9 @@ class BatchedSolver:
         restore = bt & (depth > 0) & (t != -1)
 
         tm1 = jnp.clip(t - 1, 0, MAXD - 1)
-        dec_cur = jnp.where(
-            restore[:, None],
-            jax.vmap(lambda row, i: row.at[i].set(1))(dec_cur, tm1),
-            dec_cur)
+        dec_cur = dec_cur.at[rows, tm1].set(
+            jnp.where(restore, 1,
+                      jnp.take_along_axis(dec_cur, tm1[:, None], 1)[:, 0]))
 
         # Rebuild the store: root snapshot meet all decisions < t at
         # their current child (the flipped one included).
@@ -521,8 +526,8 @@ class BatchedSolver:
         cl = jnp.where(live, cl, NINF)
         cu = jnp.where(live, cu, INF)
         tvar = jnp.where(live, dec_var, 0)
-        reb_lb = jax.vmap(lambda root, i, v: root.at[i].max(v))(root_lb, tvar, cl)
-        reb_ub = jax.vmap(lambda root, i, v: root.at[i].min(v))(root_ub, tvar, cu)
+        reb_lb = root_lb.at[rows[:, None], tvar].max(cl)
+        reb_ub = root_ub.at[rows[:, None], tvar].min(cu)
         lb = jnp.where(restore[:, None], reb_lb, lb)
         ub = jnp.where(restore[:, None], reb_ub, ub)
         depth = jnp.where(restore, t, depth)

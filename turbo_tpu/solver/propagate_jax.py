@@ -213,36 +213,72 @@ class PropagatorKernels:
         # emulated 64-bit division) collapse to one multiply.
         self.lin_unit = [bool(np.all(np.abs(bk[3]) <= 1))
                          for bk in plan.lin_buckets]
+        # Root-box store clamp (see _clamp_store): with every store
+        # plane bounded by the root box +/-1, per-bucket *static* sum
+        # bounds can prove the whole linear kernel fits int32 - the
+        # TPU VPU is a 32-bit machine, so skipping the emulated int64
+        # mul/div/sum chains roughly halves the linear sweep cost.
+        self._lb_floor = jnp.asarray(plan.lb0) - 1   # ub clamp floor
+        self._ub_cap = jnp.asarray(plan.ub0) + 1     # lb clamp ceiling
+        vmax = np.maximum(np.abs(plan.lb0.astype(np.int64)),
+                          np.abs(plan.ub0.astype(np.int64))) + 1
+        self.lin_fit32 = []
+        for (l_b, l_op, l_rhs, l_coef, l_var) in plan.lin_buckets:
+            tb = np.abs(l_coef.astype(np.int64)) * vmax[l_var]  # (C, K)
+            s_bound = tb.sum(axis=1)
+            r_bound = np.abs(l_rhs.astype(np.int64)) + 1 + s_bound + \
+                tb.max(axis=1, initial=0)
+            self.lin_fit32.append(bool((r_bound < (1 << 30)).all()))
         if self.M:
             self.m_x = jnp.asarray(plan.m_x)
             self.m_b = jnp.asarray(plan.m_b)
             self.m_base = jnp.asarray(plan.m_base)
             self.m_top = jnp.asarray(plan.m_top)
-            self.m_cnt = jnp.asarray(plan.m_cnt)
-            self.m_next_ge = jnp.asarray(plan.m_next_ge)
-            self.m_prev_le = jnp.asarray(plan.m_prev_le)
-            self.m_next_out = jnp.asarray(plan.m_next_out)
-            self.m_prev_out = jnp.asarray(plan.m_prev_out)
+            # Row tables flattened for single-gather row lookups: a
+            # (D, M) index into the flat (M*W) table replaces the
+            # (D, M, W) broadcast + take_along_axis the TPU would
+            # otherwise materialize.
+            M_ = plan.m_cnt.shape[0]
+            self.m_W = plan.m_cnt.shape[1] - 1
+            self.m_cnt_flat = jnp.asarray(plan.m_cnt.reshape(-1))
+            self.m_cnt_offs = jnp.asarray(
+                (np.arange(M_) * (self.m_W + 1)).astype(np.int32))
+            self.m_offs = jnp.asarray(
+                (np.arange(M_) * self.m_W).astype(np.int32))
+            self.m_next_ge = jnp.asarray(plan.m_next_ge.reshape(-1))
+            self.m_prev_le = jnp.asarray(plan.m_prev_le.reshape(-1))
+            self.m_next_out = jnp.asarray(plan.m_next_out.reshape(-1))
+            self.m_prev_out = jnp.asarray(plan.m_prev_out.reshape(-1))
 
     SUM_CLAMP = 1 << 40
 
-    def _linear_bucket_cands(self, lb, ub, lbk, unit=False):
+    def _linear_bucket_cands(self, lb, ub, lbk, unit=False, fit32=False):
         """Candidates for one linear bucket: returns (term_lo, term_hi
         (D, C*K) flattened, b_lo, b_hi (D, C)). `unit` (static): all
-        coefficients are 0/±1, enabling the division-free path."""
+        coefficients are 0/±1, enabling the division-free path.
+        `fit32` (static): the root-box bound proves every term sum and
+        slack fits int32 (see __init__), so the whole bucket runs in
+        native 32-bit VPU arithmetic with no saturating clamp."""
         l_b, l_op, l_rhs, l_coef, l_var = lbk
+        DT = I32 if fit32 else I64
         D = lb.shape[0]
         C, K = l_coef.shape
-        xl = lb[:, l_var.reshape(-1)].reshape(D, C, K).astype(I64)
-        xu = ub[:, l_var.reshape(-1)].reshape(D, C, K).astype(I64)
-        c = l_coef.astype(I64)[None, :, :]
+        xl = lb[:, l_var.reshape(-1)].reshape(D, C, K).astype(DT)
+        xu = ub[:, l_var.reshape(-1)].reshape(D, C, K).astype(DT)
+        c = l_coef.astype(DT)[None, :, :]
         a = c * xl
         b2 = c * xu
-        tmin = jnp.clip(jnp.minimum(a, b2), -self.SUM_CLAMP, self.SUM_CLAMP)
-        tmax = jnp.clip(jnp.maximum(a, b2), -self.SUM_CLAMP, self.SUM_CLAMP)
+        if fit32:
+            tmin = jnp.minimum(a, b2)
+            tmax = jnp.maximum(a, b2)
+        else:
+            tmin = jnp.clip(jnp.minimum(a, b2), -self.SUM_CLAMP,
+                            self.SUM_CLAMP)
+            tmax = jnp.clip(jnp.maximum(a, b2), -self.SUM_CLAMP,
+                            self.SUM_CLAMP)
         Smin = tmin.sum(axis=2)
         Smax = tmax.sum(axis=2)
-        rhs = l_rhs[None, :]
+        rhs = l_rhs.astype(DT)[None, :]
         is_eq = (l_op == 1)[None, :]
         b_lo = jnp.where(is_eq, (Smin == rhs) & (Smax == rhs),
                          Smax <= rhs).astype(I32)
@@ -282,20 +318,25 @@ class PropagatorKernels:
 
     def _linear_ask_all(self, lb, ub):
         out = jnp.ones(lb.shape[0], dtype=bool)
-        for lbk in self.lin_buckets:
+        for lbk, fit32 in zip(self.lin_buckets, self.lin_fit32):
             l_b, l_op, l_rhs, l_coef, l_var = lbk
+            DT = I32 if fit32 else I64
             D = lb.shape[0]
             C, K = l_coef.shape
-            xl = lb[:, l_var.reshape(-1)].reshape(D, C, K).astype(I64)
-            xu = ub[:, l_var.reshape(-1)].reshape(D, C, K).astype(I64)
-            c = l_coef.astype(I64)[None, :, :]
+            xl = lb[:, l_var.reshape(-1)].reshape(D, C, K).astype(DT)
+            xu = ub[:, l_var.reshape(-1)].reshape(D, C, K).astype(DT)
+            c = l_coef.astype(DT)[None, :, :]
             a = c * xl
             b2 = c * xu
-            Smin = jnp.clip(jnp.minimum(a, b2), -self.SUM_CLAMP,
-                            self.SUM_CLAMP).sum(axis=2)
-            Smax = jnp.clip(jnp.maximum(a, b2), -self.SUM_CLAMP,
-                            self.SUM_CLAMP).sum(axis=2)
-            rhs = l_rhs[None, :]
+            if fit32:
+                Smin = jnp.minimum(a, b2).sum(axis=2)
+                Smax = jnp.maximum(a, b2).sum(axis=2)
+            else:
+                Smin = jnp.clip(jnp.minimum(a, b2), -self.SUM_CLAMP,
+                                self.SUM_CLAMP).sum(axis=2)
+                Smax = jnp.clip(jnp.maximum(a, b2), -self.SUM_CLAMP,
+                                self.SUM_CLAMP).sum(axis=2)
+            rhs = l_rhs.astype(DT)[None, :]
             is_eq = (l_op == 1)[None, :]
             tt = lb[:, l_b] >= 1
             ff = ub[:, l_b] <= 0
@@ -320,15 +361,13 @@ class PropagatorKernels:
         in_win = (j >= li[:, :, None] - 1) & (j <= ui[:, :, None] - 1) & \
                  (j < self.e_len[None, :, None])
         ok = in_win & (tab >= lr) & (tab <= ur)
-        any_ok = ok.any(axis=2)
-        first = jnp.argmax(ok, axis=2).astype(I32)
-        last = (T - 1 - jnp.argmax(ok[:, :, ::-1], axis=2)).astype(I32)
-        idx_lo = jnp.where(any_ok, first + 1, INF)
-        idx_hi = jnp.where(any_ok, last + 1, NINF)
-        res_lo = jnp.where(any_ok,
-                           jnp.where(ok, tab, INF).min(axis=2), INF)
-        res_hi = jnp.where(any_ok,
-                           jnp.where(ok, tab, NINF).max(axis=2), NINF)
+        # First/last valid position as masked-iota min/max reductions
+        # (cheaper on TPU than any+argmax+reverse+argmax): no-candidate
+        # windows resolve to INF / NINF after the +1 shift.
+        idx_lo = jnp.where(ok, j, INF - 1).min(axis=2) + 1
+        idx_hi = jnp.where(ok, j, NINF - 1).max(axis=2) + 1
+        res_lo = jnp.where(ok, tab, INF).min(axis=2)
+        res_hi = jnp.where(ok, tab, NINF).max(axis=2)
         return idx_lo, idx_hi, res_lo, res_hi
 
     def _element_ask(self, lb, ub):
@@ -348,13 +387,11 @@ class PropagatorKernels:
     def _member_window(self, lb, ub):
         lx = lb[:, self.m_x]
         ux = ub[:, self.m_x]
-        W = self.m_cnt.shape[1] - 1
+        W = self.m_W
         wl = jnp.clip(lx - self.m_base[None, :], 0, W)
         wh = jnp.clip(ux - self.m_base[None, :] + 1, 0, W)
-        cnt = jnp.broadcast_to(self.m_cnt[None, :, :],
-                               (lb.shape[0],) + self.m_cnt.shape)
-        chi = jnp.take_along_axis(cnt, wh[:, :, None], axis=2)[:, :, 0]
-        clo = jnp.take_along_axis(cnt, wl[:, :, None], axis=2)[:, :, 0]
+        chi = self.m_cnt_flat[wh + self.m_cnt_offs[None, :]]
+        clo = self.m_cnt_flat[wl + self.m_cnt_offs[None, :]]
         c = chi - clo
         width = ux.astype(I64) - lx.astype(I64) + 1
         return lx, ux, c, width, W
@@ -366,13 +403,11 @@ class PropagatorKernels:
         ubb = ub[:, self.m_b]
         b_lo = ((c.astype(I64) == width) & (width > 0)).astype(I32)
         b_hi = (c > 0).astype(I32)
-        D = lb.shape[0]
-        wl_i = jnp.clip(lx - self.m_base[None, :], 0, W - 1)[:, :, None]
-        wh_i = jnp.clip(ux - self.m_base[None, :], 0, W - 1)[:, :, None]
+        wl_i = jnp.clip(lx - self.m_base[None, :], 0, W - 1)
+        wh_i = jnp.clip(ux - self.m_base[None, :], 0, W - 1)
 
-        def row_take(tabl, idx3):
-            t = jnp.broadcast_to(tabl[None, :, :], (D,) + tabl.shape)
-            return jnp.take_along_axis(t, idx3, axis=2)[:, :, 0]
+        def row_take(flat_tab, idx2):
+            return flat_tab[idx2 + self.m_offs[None, :]]
 
         nge = jnp.where(lx > self.m_top[None, :], INF,
                         row_take(self.m_next_ge, wl_i))
@@ -395,6 +430,19 @@ class PropagatorKernels:
         ubb = ub[:, self.m_b]
         return ((lbb >= 1) & (c.astype(I64) == width) & (width > 0)) | \
                ((ubb <= 0) & (c == 0))
+
+    # -- store clamp --------------------------------------------------
+
+    def _clamp_store(self, lb, ub):
+        """Clamp every plane to the root box +/-1: lb <= ub0+1 and
+        ub >= lb0-1 per var. Sound and lossless: ub only ever shrinks
+        from ub0, so any lb driven past ub0 already implies bot (and
+        vice versa) - the clamp preserves the bot signal with one unit
+        of slack while bounding store values statically. That static
+        bound is what lets per-bucket analysis run the linear kernel in
+        native int32 (lin_fit32)."""
+        return (jnp.minimum(lb, self._ub_cap[None, :]),
+                jnp.maximum(ub, self._lb_floor[None, :]))
 
     # -- one AC-1 iteration ------------------------------------------
 
@@ -430,8 +478,10 @@ class PropagatorKernels:
             extra_l += [xl, bl]
             extra_u += [xh, bh]
         lin_b_l, lin_b_u = [], []
-        for lbk, unit in zip(self.lin_buckets, self.lin_unit):
-            tl, th, bl2, bh2 = self._linear_bucket_cands(lb, ub, lbk, unit)
+        for lbk, unit, fit32 in zip(self.lin_buckets, self.lin_unit,
+                                    self.lin_fit32):
+            tl, th, bl2, bh2 = self._linear_bucket_cands(lb, ub, lbk, unit,
+                                                         fit32)
             extra_l.append(tl)
             extra_u.append(th)
             lin_b_l.append(bl2)
@@ -457,7 +507,9 @@ class PropagatorKernels:
         tail_u = ub[:, self.n_active:]
         lb2 = jnp.concatenate(new_l_parts + [tail_l], axis=1)
         ub2 = jnp.concatenate(new_u_parts + [tail_u], axis=1)
-        return lb2, ub2
+        # Maintain the root-box invariant the int32 linear path relies
+        # on (lossless for non-bot lanes, see _clamp_store).
+        return self._clamp_store(lb2, ub2)
 
     # -- WAC1: per-group local fixpoints ------------------------------
 
@@ -482,6 +534,7 @@ class PropagatorKernels:
                 lb[:, zs], ub[:, zs])
             lb2 = lb.at[:, xs].max(cxl).at[:, ys].max(cyl).at[:, zs].max(czl)
             ub2 = ub.at[:, xs].min(cxu).at[:, ys].min(cyu).at[:, zs].min(czu)
+            lb2, ub2 = self._clamp_store(lb2, ub2)
             ch = jnp.any((lb2 != lb) | (ub2 != ub), axis=1)
             bot = jnp.any(lb2 > ub2, axis=1)
             return lb2, ub2, ch & ~bot, it + 1, iters + ch.astype(I32)
@@ -515,12 +568,18 @@ class PropagatorKernels:
             xl, xh, bl, bh = self._member_cands(lb, ub)
             lb = lb.at[:, self.m_x].max(xl).at[:, self.m_b].max(bl)
             ub = ub.at[:, self.m_x].min(xh).at[:, self.m_b].min(bh)
-        for lbk, unit in zip(self.lin_buckets, self.lin_unit):
+        lb, ub = self._clamp_store(lb, ub)
+        for lbk, unit, fit32 in zip(self.lin_buckets, self.lin_unit,
+                                    self.lin_fit32):
             l_b, l_op, l_rhs, l_coef, l_var = lbk
-            tl, th, b_lo, b_hi = self._linear_bucket_cands(lb, ub, lbk, unit)
+            tl, th, b_lo, b_hi = self._linear_bucket_cands(lb, ub, lbk, unit,
+                                                           fit32)
             flat_var = l_var.reshape(-1)
             lb = lb.at[:, flat_var].max(tl).at[:, l_b].max(b_lo)
             ub = ub.at[:, flat_var].min(th).at[:, l_b].min(b_hi)
+            # Re-establish the box invariant before the next bucket's
+            # int32 path reads these planes.
+            lb, ub = self._clamp_store(lb, ub)
         return lb, ub, iters
 
     def fixpoint_wac1(self, lb, ub, max_iters: int = 100000,
