@@ -88,10 +88,10 @@ def main():
     log(f"compiled model: V={tnf.num_vars} P={tnf.num_props} "
         f"({time.monotonic()-t0:.1f}s)")
 
-    solver = BatchedSolver(tnf, EngineConfig(num_dives=DIVES,
-                                             subproblems_power=14,
-                                             max_depth=256,
-                                             fp_max_iters=FP_CAP))
+    solver = BatchedSolver(tnf, EngineConfig(
+        num_dives=DIVES, subproblems_power=14, max_depth=256,
+        fp_max_iters=FP_CAP,
+        fp_mode=os.environ.get("BENCH_FP_MODE", "fixpoint")))
     st = solver.init_state()
     step_n = solver.make_step_n(CHUNK)
     t0 = time.monotonic()

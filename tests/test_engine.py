@@ -711,3 +711,46 @@ def test_auto_num_dives_occupancy_analog():
     assert 256 <= dw <= 1024
     assert 64 <= dt <= dw
     assert dw & (dw - 1) == 0 and dt & (dt - 1) == 0
+
+
+def test_transposed_fixpoint_matches_dv():
+    """fixpoint_t on (V, D) planes must equal fixpoint on (D, V) planes
+    exactly (same sweeps, same stores), across instances exercising the
+    bytecode, element, membership, and linear kernel families."""
+    for path in ("test_data/sudoku_opt3.fzn", "test_data/pat1.fzn",
+                 "test_data/reified_in.fzn"):
+        tnf = compile_model(parse_fzn(
+            f"/root/reference/benchmarks/{path}"))
+        plan = build_plan(tnf)
+        kernels = PropagatorKernels(plan)
+        rng = np.random.default_rng(7)
+        D = 6
+        lbp = np.stack([plan.lb0.copy() for _ in range(D)])
+        ubp = np.stack([plan.ub0.copy() for _ in range(D)])
+        for d in range(D):
+            for v in rng.choice(plan.n_active, size=6, replace=False):
+                if lbp[d, v] < ubp[d, v]:
+                    lo = rng.integers(lbp[d, v], ubp[d, v] + 1)
+                    hi = rng.integers(lo, ubp[d, v] + 1)
+                    lbp[d, v], ubp[d, v] = lo, hi
+        al, au, ai = jax.jit(kernels.fixpoint)(
+            jnp.asarray(lbp, jnp.int32), jnp.asarray(ubp, jnp.int32))
+        tl, tu, ti = jax.jit(kernels.fixpoint_t)(
+            jnp.asarray(lbp.T, jnp.int32), jnp.asarray(ubp.T, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(al), np.asarray(tl).T, path)
+        np.testing.assert_array_equal(np.asarray(au), np.asarray(tu).T, path)
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(ti), path)
+
+
+def test_engine_vd_layout_matches_dv(bench_dir):
+    """The vd fixpoint layout must not change search results."""
+    tnf = compile_model(parse_fzn(
+        str(bench_dir / "test_data" / "sudoku_opt4.fzn")))
+    r1 = BatchedSolver(tnf, EngineConfig(
+        num_dives=8, subproblems_power=5, max_depth=64)).solve(timeout_s=120)
+    r2 = BatchedSolver(tnf, EngineConfig(
+        num_dives=8, subproblems_power=5, max_depth=64,
+        fp_layout="vd")).solve(timeout_s=120)
+    assert r1.status == r2.status == "optimal"
+    assert r1.objective == r2.objective == -16
+    assert r1.nodes == r2.nodes

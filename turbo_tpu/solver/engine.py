@@ -109,6 +109,11 @@ class EngineConfig:
     # (warp-fixpoint analog, config.cpp:25-27); falls back to AC-1 when
     # the instance has fewer than wac1_threshold propagators.
     fp_mode: str = "fixpoint"
+    # Plane layout inside the fixpoint: "dv" = (D, V) as carried by the
+    # search state; "vd" = transpose to dive-minor (V, D) for the sweep
+    # (matches the layout XLA's assignment prefers for the candidate
+    # gathers - see PropagatorKernels.iteration_t).
+    fp_layout: str = "dv"
     fp_fixed_iters: int = 2
     wac1_threshold: int = 0
     wac1_inner_cap: int = 16
@@ -388,6 +393,10 @@ class BatchedSolver:
             elif cfg.fp_mode == "wac1":
                 lb, ub, iters = self.kernels.fixpoint_wac1(
                     lb, ub, cfg.fp_max_iters, cfg.wac1_inner_cap)
+            elif cfg.fp_layout == "vd":
+                lbT, ubT, iters = self.kernels.fixpoint_t(
+                    lb.T, ub.T, cfg.fp_max_iters)
+                lb, ub = lbT.T, ubT.T
             else:
                 lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
         bot = self.kernels.is_bot(lb, ub)
@@ -592,7 +601,8 @@ class BatchedSolver:
             from .exec_cache import cached_compile
             program_key = ("step_n", n, self.plan.shape_signature,
                            self.cfg.num_dives, self.cfg.max_depth,
-                           self.cfg.fp_mode, self.cfg.fp_fixed_iters,
+                           self.cfg.fp_mode, self.cfg.fp_layout,
+                           self.cfg.fp_fixed_iters,
                            self.cfg.wac1_inner_cap,
                            self.cfg.fp_max_iters, self.axis_name,
                            self.cfg.enumerate_all)

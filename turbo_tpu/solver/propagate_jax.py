@@ -511,6 +511,199 @@ class PropagatorKernels:
         # on (lossless for non-bot lanes, see _clamp_store).
         return self._clamp_store(lb2, ub2)
 
+    # -- transposed-plane (V, D) sweep --------------------------------
+    #
+    # Identical semantics to `iteration`, but every plane/candidate
+    # array is (V, D) / (C, D) with the dive axis minor. XLA's layout
+    # assignment already prefers dive-minor storage for the gather
+    # operands inside the fixpoint loop; expressing the sweep in that
+    # layout natively removes the per-iteration transposing
+    # dynamic-update-slice fusions the (D, V) form pays when the
+    # candidate planes are assembled (measured ~35% of sweep time on
+    # wordpress, DESIGN.md TPU profile).
+
+    def _element_cands_t(self, lbT, ubT):
+        li = lbT[self.e_idx]                        # (E, D)
+        ui = ubT[self.e_idx]
+        lr = lbT[self.e_res][:, None, :]            # (E, 1, D)
+        ur = ubT[self.e_res][:, None, :]
+        T = self.e_tab.shape[1]
+        j = jax.lax.broadcasted_iota(I32, (1, T, 1), 1)
+        tab = self.e_tab[:, :, None]                # (E, T, 1)
+        in_win = (j >= li[:, None, :] - 1) & (j <= ui[:, None, :] - 1) & \
+                 (j < self.e_len[:, None, None])
+        ok = in_win & (tab >= lr) & (tab <= ur)     # (E, T, D)
+        idx_lo = jnp.where(ok, j, INF - 1).min(axis=1) + 1
+        idx_hi = jnp.where(ok, j, NINF - 1).max(axis=1) + 1
+        res_lo = jnp.where(ok, tab, INF).min(axis=1)
+        res_hi = jnp.where(ok, tab, NINF).max(axis=1)
+        return idx_lo, idx_hi, res_lo, res_hi
+
+    def _member_cands_t(self, lbT, ubT):
+        lx = lbT[self.m_x]                          # (M, D)
+        ux = ubT[self.m_x]
+        W = self.m_W
+        wl = jnp.clip(lx - self.m_base[:, None], 0, W)
+        wh = jnp.clip(ux - self.m_base[:, None] + 1, 0, W)
+        chi = self.m_cnt_flat[wh + self.m_cnt_offs[:, None]]
+        clo = self.m_cnt_flat[wl + self.m_cnt_offs[:, None]]
+        c = chi - clo
+        width = ux.astype(I64) - lx.astype(I64) + 1
+        lbb = lbT[self.m_b]
+        ubb = ubT[self.m_b]
+        b_lo = ((c.astype(I64) == width) & (width > 0)).astype(I32)
+        b_hi = (c > 0).astype(I32)
+        wl_i = jnp.clip(lx - self.m_base[:, None], 0, W - 1)
+        wh_i = jnp.clip(ux - self.m_base[:, None], 0, W - 1)
+
+        def row_take(flat_tab, idx2):
+            return flat_tab[idx2 + self.m_offs[:, None]]
+
+        nge = jnp.where(lx > self.m_top[:, None], INF,
+                        row_take(self.m_next_ge, wl_i))
+        ple = jnp.where(ux < self.m_base[:, None], NINF,
+                        row_take(self.m_prev_le, wh_i))
+        inhull_l = (lx >= self.m_base[:, None]) & (lx <= self.m_top[:, None])
+        inhull_h = (ux >= self.m_base[:, None]) & (ux <= self.m_top[:, None])
+        nout = jnp.where(inhull_l, row_take(self.m_next_out, wl_i), lx)
+        pout = jnp.where(inhull_h, row_take(self.m_prev_out, wh_i), ux)
+        tt = lbb >= 1
+        ff = ubb <= 0
+        x_lo = jnp.where(tt, nge, jnp.where(ff, nout, NINF))
+        x_hi = jnp.where(tt, ple, jnp.where(ff, pout, INF))
+        return (jnp.clip(x_lo, NINF, INF).astype(I32),
+                jnp.clip(x_hi, NINF, INF).astype(I32), b_lo, b_hi)
+
+    def _linear_bucket_cands_t(self, lbT, ubT, lbk, unit=False, fit32=False):
+        l_b, l_op, l_rhs, l_coef, l_var = lbk
+        DT = I32 if fit32 else I64
+        D = lbT.shape[1]
+        C, K = l_coef.shape
+        xl = lbT[l_var.reshape(-1)].reshape(C, K, D).astype(DT)
+        xu = ubT[l_var.reshape(-1)].reshape(C, K, D).astype(DT)
+        c = l_coef.astype(DT)[:, :, None]
+        a = c * xl
+        b2 = c * xu
+        if fit32:
+            tmin = jnp.minimum(a, b2)
+            tmax = jnp.maximum(a, b2)
+        else:
+            tmin = jnp.clip(jnp.minimum(a, b2), -self.SUM_CLAMP,
+                            self.SUM_CLAMP)
+            tmax = jnp.clip(jnp.maximum(a, b2), -self.SUM_CLAMP,
+                            self.SUM_CLAMP)
+        Smin = tmin.sum(axis=1)                     # (C, D)
+        Smax = tmax.sum(axis=1)
+        rhs = l_rhs.astype(DT)[:, None]             # (C, 1)
+        is_eq = (l_op == 1)[:, None]
+        b_lo = jnp.where(is_eq, (Smin == rhs) & (Smax == rhs),
+                         Smax <= rhs).astype(I32)
+        b_hi = jnp.where(is_eq, (Smin <= rhs) & (rhs <= Smax),
+                         Smin <= rhs).astype(I32)
+        tt = (lbT[l_b] >= 1)[:, None, :]            # (C, 1, D)
+        ff = (ubT[l_b] <= 0)[:, None, :]
+        live = (l_coef != 0)[:, :, None]
+        csafe = jnp.where(live, c, 1)
+        R = rhs[:, :, None] - (Smin[:, None, :] - tmin)
+        rhs2 = jnp.where(is_eq, rhs, rhs + 1)[:, :, None]
+        R2 = rhs2 - (Smax[:, None, :] - tmax)
+        if unit:
+            q_le = ceil_le = R * csafe
+            q_ge = ceil_ge = R2 * csafe
+        else:
+            q_le = jnp.floor_divide(R, csafe)
+            ceil_le = q_le + ((R - q_le * csafe) != 0)
+            q_ge = jnp.floor_divide(R2, csafe)
+            ceil_ge = q_ge + ((R2 - q_ge * csafe) != 0)
+        cpos = (l_coef > 0)[:, :, None]
+        is_eq3 = is_eq[:, :, None]
+        ge_act = (is_eq3 & tt) | (~is_eq3 & ff)
+        le_act = tt
+        term_hi = jnp.where(live & le_act & cpos, q_le, INF)
+        term_hi = jnp.minimum(term_hi,
+                              jnp.where(live & ge_act & ~cpos, q_ge, INF))
+        term_lo = jnp.where(live & le_act & ~cpos, ceil_le, NINF)
+        term_lo = jnp.maximum(term_lo,
+                              jnp.where(live & ge_act & cpos, ceil_ge, NINF))
+        term_lo = jnp.clip(term_lo, NINF, INF).astype(I32).reshape(C * K, D)
+        term_hi = jnp.clip(term_hi, NINF, INF).astype(I32).reshape(C * K, D)
+        return term_lo, term_hi, b_lo, b_hi
+
+    def iteration_t(self, lbT, ubT):
+        """One AC-1 sweep on transposed (V, D) planes (== iteration)."""
+        if self.P == 0:
+            return lbT, ubT
+        D = lbT.shape[1]
+        LX, UX = lbT[self.all_x], ubT[self.all_x]
+        LY, UY = lbT[self.all_y], ubT[self.all_y]
+        LZ, UZ = lbT[self.all_z], ubT[self.all_z]
+        xls, yls, zls, xus, yus, zus = [], [], [], [], [], []
+        for op, a, b in self.group_slices:
+            cxl, cxu, cyl, cyu, czl, czu = _deduce_group(
+                op, LX[a:b], UX[a:b], LY[a:b], UY[a:b], LZ[a:b], UZ[a:b])
+            xls.append(cxl); yls.append(cyl); zls.append(czl)
+            xus.append(cxu); yus.append(cyu); zus.append(czu)
+        extra_l, extra_u = [], []
+        if self.E:
+            il, ih, rl, rh = self._element_cands_t(lbT, ubT)
+            extra_l += [il.astype(I32), rl.astype(I32)]
+            extra_u += [ih.astype(I32), rh.astype(I32)]
+        if self.M:
+            xl, xh, bl, bh = self._member_cands_t(lbT, ubT)
+            extra_l += [xl, bl]
+            extra_u += [xh, bh]
+        lin_b_l, lin_b_u = [], []
+        for lbk, unit, fit32 in zip(self.lin_buckets, self.lin_unit,
+                                    self.lin_fit32):
+            tl, th, bl2, bh2 = self._linear_bucket_cands_t(
+                lbT, ubT, lbk, unit, fit32)
+            extra_l.append(tl)
+            extra_u.append(th)
+            lin_b_l.append(bl2)
+            lin_b_u.append(bh2)
+        extra_l += lin_b_l
+        extra_u += lin_b_u
+        cand_l = jnp.concatenate(
+            xls + yls + zls + extra_l +
+            [jnp.full((1, D), NINF, dtype=I32)], axis=0)
+        cand_u = jnp.concatenate(
+            xus + yus + zus + extra_u +
+            [jnp.full((1, D), INF, dtype=I32)], axis=0)
+        new_l_parts, new_u_parts = [], []
+        for start, count, idx in self.buckets:
+            gl = cand_l[idx]                        # (count, K, D)
+            gu = cand_u[idx]
+            nl = jnp.maximum(lbT[start:start + count], gl.max(axis=1))
+            nu = jnp.minimum(ubT[start:start + count], gu.min(axis=1))
+            new_l_parts.append(nl)
+            new_u_parts.append(nu)
+        lb2 = jnp.concatenate(new_l_parts + [lbT[self.n_active:]], axis=0)
+        ub2 = jnp.concatenate(new_u_parts + [ubT[self.n_active:]], axis=0)
+        return (jnp.minimum(lb2, self._ub_cap[:, None]),
+                jnp.maximum(ub2, self._lb_floor[:, None]))
+
+    def fixpoint_t(self, lbT, ubT, max_iters: int = 100000):
+        """AC-1 fixpoint on (V, D) planes. Returns (lbT, ubT, iters)."""
+        if self.P == 0:
+            return lbT, ubT, jnp.zeros(lbT.shape[1], dtype=I32)
+
+        def cond(carry):
+            _, _, _, changed, it = carry
+            return jnp.logical_and(changed.any(), it < max_iters)
+
+        def body(carry):
+            lbT, ubT, iters, changed, it = carry
+            lb2, ub2 = self.iteration_t(lbT, ubT)
+            dchanged = jnp.any((lb2 != lbT) | (ub2 != ubT), axis=0)
+            bot = jnp.any(lb2 > ub2, axis=0)
+            iters = iters + changed.astype(I32)
+            return lb2, ub2, iters, dchanged & ~bot, it + 1
+
+        zero_lane = lbT[0] * 0
+        init = (lbT, ubT, zero_lane, zero_lane == 0, zero_lane[0])
+        lbT, ubT, iters, _, _ = jax.lax.while_loop(cond, body, init)
+        return lbT, ubT, iters + 1
+
     # -- WAC1: per-group local fixpoints ------------------------------
 
     def _group_local_fixpoint(self, lb, ub, gi: int, inner_cap: int):
