@@ -91,7 +91,8 @@ def main():
     solver = BatchedSolver(tnf, EngineConfig(
         num_dives=DIVES, subproblems_power=14, max_depth=256,
         fp_max_iters=FP_CAP,
-        fp_mode=os.environ.get("BENCH_FP_MODE", "fixpoint")))
+        fp_mode=os.environ.get("BENCH_FP_MODE", "fixpoint"),
+        fp_layout=os.environ.get("BENCH_FP_LAYOUT", "dv")))
     st = solver.init_state()
     step_n = solver.make_step_n(CHUNK)
     t0 = time.monotonic()

@@ -223,12 +223,25 @@ class PropagatorKernels:
         vmax = np.maximum(np.abs(plan.lb0.astype(np.int64)),
                           np.abs(plan.ub0.astype(np.int64))) + 1
         self.lin_fit32 = []
-        for (l_b, l_op, l_rhs, l_coef, l_var) in plan.lin_buckets:
+        for bi, (l_b, l_op, l_rhs, l_coef, l_var) in \
+                enumerate(plan.lin_buckets):
             tb = np.abs(l_coef.astype(np.int64)) * vmax[l_var]  # (C, K)
             s_bound = tb.sum(axis=1)
             r_bound = np.abs(l_rhs.astype(np.int64)) + 1 + s_bound + \
                 tb.max(axis=1, initial=0)
-            self.lin_fit32.append(bool((r_bound < (1 << 30)).all()))
+            # All-zero-coefficient padding rows carry a 2^40 sentinel
+            # rhs; they contribute nothing (term candidates are masked
+            # by `live`) and their entailment comparisons give the same
+            # answers against any rhs >= 1, so clamp the sentinel into
+            # int32 range and judge the fit on real rows only.
+            live_row = (l_coef != 0).any(axis=1)
+            fit = bool((r_bound[live_row] < (1 << 30)).all())
+            self.lin_fit32.append(fit)
+            if fit:
+                rhs32 = np.clip(l_rhs, -(1 << 30), 1 << 30).astype(np.int32)
+                self.lin_buckets[bi] = (
+                    jnp.asarray(l_b), jnp.asarray(l_op), jnp.asarray(rhs32),
+                    jnp.asarray(l_coef.astype(np.int32)), jnp.asarray(l_var))
         if self.M:
             self.m_x = jnp.asarray(plan.m_x)
             self.m_b = jnp.asarray(plan.m_b)
