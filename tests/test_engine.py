@@ -754,3 +754,18 @@ def test_engine_vd_layout_matches_dv(bench_dir):
     assert r1.status == r2.status == "optimal"
     assert r1.objective == r2.objective == -16
     assert r1.nodes == r2.nodes
+
+
+def test_hot_depth_cold_branch_matches(bench_dir):
+    """A tiny hot prefix forces the deep-rebuild branch constantly;
+    results must be identical to the default."""
+    tnf = compile_model(parse_fzn(
+        str(bench_dir / "test_data" / "sudoku_opt4.fzn")))
+    r1 = BatchedSolver(tnf, EngineConfig(
+        num_dives=8, subproblems_power=5, max_depth=64)).solve(timeout_s=120)
+    r2 = BatchedSolver(tnf, EngineConfig(
+        num_dives=8, subproblems_power=5, max_depth=64,
+        hot_depth=4)).solve(timeout_s=120)
+    assert r1.status == r2.status == "optimal"
+    assert r1.objective == r2.objective == -16
+    assert r1.nodes == r2.nodes

@@ -115,6 +115,9 @@ class EngineConfig:
     # gathers - see PropagatorKernels.iteration_t).
     fp_layout: str = "dv"
     fp_fixed_iters: int = 2
+    # Hot prefix of the decision stacks: backtrack replays deeper than
+    # this take a rarely-executed slow branch (see step VII).
+    hot_depth: int = 256
     wac1_threshold: int = 0
     wac1_inner_cap: int = 16
     # Distinct strategy for the diving phase (push_eps_strategy,
@@ -527,16 +530,32 @@ class BatchedSolver:
                       jnp.take_along_axis(dec_cur, tm1[:, None], 1)[:, 0]))
 
         # Rebuild the store: root snapshot meet all decisions < t at
-        # their current child (the flipped one included).
-        narrow = jnp.arange(MAXD, dtype=I32)[None, :]
-        live = narrow < jnp.where(restore, t, 0)[:, None]
-        cl = jnp.where(dec_cur == 1, dec_l1, dec_l0)
-        cu = jnp.where(dec_cur == 1, dec_u1, dec_u0)
-        cl = jnp.where(live, cl, NINF)
-        cu = jnp.where(live, cu, INF)
-        tvar = jnp.where(live, dec_var, 0)
-        reb_lb = root_lb.at[rows[:, None], tvar].max(cl)
-        reb_ub = root_ub.at[rows[:, None], tvar].min(cu)
+        # their current child (the flipped one included). Replays are
+        # almost always shallow, so the deep tail of the stacks is
+        # only touched when some lane actually restores past the hot
+        # prefix (lax.cond executes a single branch at runtime; this
+        # keeps steady-state stack traffic at O(D*HOT), not O(D*MAXD),
+        # which matters at trains15-scale MAXD=10000).
+        HOT = min(MAXD, cfg.hot_depth)
+        tr = jnp.where(restore, t, 0)
+
+        def _rebuild(w):
+            narrow = jnp.arange(w, dtype=I32)[None, :]
+            live = narrow < tr[:, None]
+            cl = jnp.where(dec_cur[:, :w] == 1, dec_l1[:, :w], dec_l0[:, :w])
+            cu = jnp.where(dec_cur[:, :w] == 1, dec_u1[:, :w], dec_u0[:, :w])
+            cl = jnp.where(live, cl, NINF)
+            cu = jnp.where(live, cu, INF)
+            tvar = jnp.where(live, dec_var[:, :w], 0)
+            return (root_lb.at[rows[:, None], tvar].max(cl),
+                    root_ub.at[rows[:, None], tvar].min(cu))
+
+        if HOT < MAXD:
+            reb_lb, reb_ub = jax.lax.cond(
+                jnp.max(tr) <= HOT,
+                lambda: _rebuild(HOT), lambda: _rebuild(MAXD))
+        else:
+            reb_lb, reb_ub = _rebuild(MAXD)
         lb = jnp.where(restore[:, None], reb_lb, lb)
         ub = jnp.where(restore[:, None], reb_ub, ub)
         depth = jnp.where(restore, t, depth)
@@ -601,6 +620,7 @@ class BatchedSolver:
             from .exec_cache import cached_compile
             program_key = ("step_n", n, self.plan.shape_signature,
                            self.cfg.num_dives, self.cfg.max_depth,
+                           self.cfg.hot_depth,
                            self.cfg.fp_mode, self.cfg.fp_layout,
                            self.cfg.fp_fixed_iters,
                            self.cfg.wac1_inner_cap,
