@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--measure-s", type=float, default=60.0)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--fp-cap", type=int, default=16)
+    ap.add_argument("--fp-layout", default="dv", choices=["dv", "vd"])
     ap.add_argument("--out", default="/tmp/scaling_results.jsonl")
     args = ap.parse_args()
 
@@ -52,11 +53,12 @@ def main():
 
     for D in [int(x) for x in args.dives.split(",")]:
         row = {"instance": inst, "platform": platform, "D": D,
-               "chunk": args.chunk, "fp_cap": args.fp_cap}
+               "chunk": args.chunk, "fp_cap": args.fp_cap,
+               "fp_layout": args.fp_layout}
         t0 = time.monotonic()
         solver = BatchedSolver(tnf, EngineConfig(
             num_dives=D, subproblems_power=14, max_depth=256,
-            fp_max_iters=args.fp_cap))
+            fp_max_iters=args.fp_cap, fp_layout=args.fp_layout))
         st = solver.init_state()
         step_n = solver.make_step_n(args.chunk)
         st = step_n(st)
