@@ -163,12 +163,16 @@ class ShardedSolver:
 
             from ..solver.exec_cache import cached_compile
             program_key = ("sharded_step_n", n, self.plan.shape_signature,
+                           self.plan.data_digest,
                            self.solver.cfg.num_dives,
                            self.solver.cfg.max_depth,
+                           self.solver.cfg.hot_depth,
                            self.solver.cfg.fp_mode,
+                           self.solver.cfg.fp_layout,
                            self.solver.cfg.fp_fixed_iters,
                            self.solver.cfg.wac1_inner_cap,
-                           self.solver.cfg.fp_max_iters, self.n_shards)
+                           self.solver.cfg.fp_max_iters, self.n_shards,
+                           self.solver.cfg.enumerate_all)
             self._step_n_cache[n] = cached_compile(
                 jax.jit(sharded_steps, donate_argnums=0),
                 (self.init_state(),), program_key, verbose=True)

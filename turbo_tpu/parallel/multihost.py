@@ -125,6 +125,13 @@ class MultiHostSolver:
                  exchange_every_chunks: int = 2):
         import jax
 
+        if config.enumerate_all:
+            # Steal races may duplicate subproblems (sound for bounds,
+            # pruned by the incumbent), but enumeration would count the
+            # duplicated solutions twice - route -a to one host.
+            raise ValueError(
+                "enumerate_all (-a) is not supported by the multi-host "
+                "architecture; run it on a single host")
         self.pid = jax.process_index()
         self.n_hosts = jax.process_count()
         local = jax.local_devices()
@@ -132,9 +139,24 @@ class MultiHostSolver:
         # Homogeneous hosts assumed for the offset math; heterogeneous
         # counts would need an allgather of S here.
         S = len(local)
+        total_shards = self.n_hosts * S
+        if config.subproblems_power <= 0:
+            # The root-tree probe is wall-clock bounded, so hosts under
+            # different load could derive different k and build
+            # inconsistent subproblem spaces. Compute k on host 0 only
+            # and broadcast it (ADVICE r2: deterministic k).
+            import dataclasses
+
+            from jax.experimental import multihost_utils
+            from ..solver.engine import choose_subproblems_power
+            k = choose_subproblems_power(tnf, config, total_shards,
+                                         allow_probe=(self.pid == 0))
+            k = int(np.asarray(multihost_utils.process_allgather(
+                np.array([k], dtype=np.int64)))[0, 0])
+            config = dataclasses.replace(config, subproblems_power=k)
         self.sharded = ShardedSolver(tnf, config, devices=local,
                                      shard_offset=self.pid * S,
-                                     total_shards=self.n_hosts * S)
+                                     total_shards=total_shards)
         self.plan = self.sharded.plan
         self.opt = self.sharded.opt
         self.exchange_every = max(1, exchange_every_chunks)
@@ -179,22 +201,26 @@ class MultiHostSolver:
             chunks += 1
             if chunks % self.exchange_every:
                 continue
-            phase, bbs, ns, slim = jax.device_get(
-                (st.phase, st.best_bound, st.next_sub, st.sub_limit))
+            phase, bbs, ns, slim, sols = jax.device_get(
+                (st.phase, st.best_bound, st.next_sub, st.sub_limit,
+                 st.sols))
             local_idle = bool((phase == IDLE).all())
-            # DCN exchange: [best, idle, want_stop, next_s..., limit_s...]
-            snap = np.empty(3 + 2 * self.S, dtype=np.int64)
+            # DCN exchange:
+            #   [best, idle, want_stop, n_sols, next_s..., limit_s...]
+            snap = np.empty(4 + 2 * self.S, dtype=np.int64)
             snap[0] = int(bbs.min())
             snap[1] = int(local_idle)
             snap[2] = int(time.monotonic() - t0 > timeout_s)
+            snap[3] = int(sols.sum())
             for s in range(self.S):
-                snap[3 + s] = int(ns[s * D])
-                snap[3 + self.S + s] = int(slim[s * D])
+                snap[4 + s] = int(ns[s * D])
+                snap[4 + self.S + s] = int(slim[s * D])
             allsnap = self._allgather(snap)
             gbest = int(allsnap[:, 0].min())
             idle = allsnap[:, 1].astype(bool)
-            next_mat = allsnap[:, 3:3 + self.S]
-            limit_mat = allsnap[:, 3 + self.S:]
+            total_sols = int(allsnap[:, 3].sum())
+            next_mat = allsnap[:, 4:4 + self.S]
+            limit_mat = allsnap[:, 4 + self.S:]
             if self.opt and gbest < int(np.asarray(
                     jax.device_get(st.ext_bound))[0]):
                 eb = jnp.full((self.S * D,), gbest, dtype=jnp.int32)
@@ -221,9 +247,10 @@ class MultiHostSolver:
                 stopped = True
                 break
             if (not self.opt and stop_after_n_solutions > 0
-                    and gbest < INF):
-                # Satisfaction: some host found a solution; stop
-                # everywhere (exhaustive only if all ranges drained).
+                    and total_sols >= stop_after_n_solutions):
+                # Satisfaction: enough solutions found across hosts
+                # (-n semantics); stop everywhere (exhaustive only if
+                # all ranges drained).
                 stopped = not bool(idle.all())
                 break
             if idle.all() and not moves:

@@ -151,19 +151,55 @@ def probe_tree_power(tnf, probe_nodes: int = 2000,
 
 
 def auto_max_depth(plan) -> int:
-    """Decision-stack depth that provably covers the instance: splits
-    only ever halve or fix a var's interval, so a branch can hold at
-    most sum(ceil(log2(width_v))) decisions before every var is fixed.
-    Quantized for compiled-shape sharing; capped at the reference's
-    MAX_SEARCH_DEPTH=10000 (barebones_dive_and_solve.hpp:14) - overflow
-    past the cap still degrades soundly to a non-exhaustive answer."""
+    """Decision-stack depth that provably covers the instance.
+
+    Per-var worst-case decisions depend on the value order actually in
+    play: indomain_split/_reverse_split halve the interval (<=
+    ceil(log2(w)) decisions), but indomain_min/_max right children only
+    shrink it by ONE value, so a var of width w can sit on a branch up
+    to w-1 times before it is fixed. With any min/max strategy present
+    the bound is sum(min(w-1, ...)) — typically saturating the
+    reference's flat MAX_SEARCH_DEPTH=10000 provision
+    (barebones_dive_and_solve.hpp:14), which we then match. Overflow
+    past the cap still degrades soundly to a non-exhaustive answer,
+    but an exhaustiveness proof must never be lost to an optimistic
+    depth estimate."""
     from .plan import quantize
     lb0 = plan.lb0[:plan.n_active].astype(np.int64)
     ub0 = plan.ub0[:plan.n_active].astype(np.int64)
     w = ub0 - lb0 + 1
     live = w > 1
-    bits = int(np.ceil(np.log2(np.clip(w[live], 2, None))).sum())
+    halving_only = all(
+        s.val_order in ("indomain_split", "indomain_reverse_split")
+        for s in plan.strategies)
+    if halving_only:
+        bits = int(np.ceil(np.log2(np.clip(w[live], 2, None))).sum())
+    else:
+        bits = int(np.minimum(w[live] - 1, 10000).sum())
     return int(min(10000, max(128, quantize(bits + 8))))
+
+
+def choose_subproblems_power(tnf, config, num_shards: int,
+                             allow_probe: bool = True) -> int:
+    """EPS split size 2^k: pinned -sub, or the occupancy-factor default
+    (config.hpp:76) capped by the root-tree probe. Multi-host callers
+    compute k on ONE host and broadcast it (MultiHostSolver), because
+    the probe is wall-clock bounded and may differ between hosts under
+    load — inconsistent k would break the shared subproblem-id space."""
+    D = config.num_dives
+    k = config.subproblems_power
+    if k <= 0:
+        total = max(1, config.subproblems_factor * D * num_shards)
+        k = max(1, int(np.ceil(np.log2(total))))
+        if not config.enumerate_all and allow_probe:
+            kp = probe_tree_power(tnf)
+            if kp is not None:
+                k = min(k, kp)
+    # Every shard must own a non-empty subproblem range, or an
+    # explicitly pinned tiny -sub could leave shards claiming
+    # exhaustiveness over work they never received.
+    k = max(k, int(np.ceil(np.log2(max(1, num_shards)))))
+    return min(k, 30)
 
 
 def apply_strategy_config(plan, cfg) -> bool:
@@ -214,22 +250,8 @@ class BatchedSolver:
         if config.max_depth <= 0:
             self.cfg = config = dataclasses.replace(
                 config, max_depth=auto_max_depth(self.plan))
-        D = config.num_dives
-        k = config.subproblems_power
-        if k <= 0:
-            total = max(1, config.subproblems_factor * D * num_shards)
-            k = max(1, int(np.ceil(np.log2(total))))
-            if not config.enumerate_all:
-                kp = probe_tree_power(tnf)
-                if kp is not None:
-                    k = min(k, kp)
-        # Every shard must own a non-empty subproblem range, or an
-        # explicitly pinned tiny -sub could leave shards claiming
-        # exhaustiveness over work they never received.
-        k = max(k, int(np.ceil(np.log2(max(1, num_shards)))))
-        k = min(k, 30)
-        self.k = k
-        self.num_sub_total = 1 << k
+        self.k = choose_subproblems_power(tnf, config, num_shards)
+        self.num_sub_total = 1 << self.k
         self.opt = self.plan.is_opt
         self._strategy_tables = self._build_strategy_tables()
 
@@ -428,7 +450,14 @@ class BatchedSolver:
         fails = st.fails + (act & bot).astype(I32)
         fpit = st.fpit + jnp.where(act, iters, 0)
         deds = st.deds + jnp.where(act, iters.astype(jnp.float32) * st.pscale, 0.0)
-        dmax = jnp.maximum(st.dmax, jnp.where(act, st.depth, 0))
+        # peakDepth counts the FULL tree depth incl. committed dive
+        # decisions (kpow - remaining). The reference barebones keeps
+        # its counter subproblem-relative (it undoes the dive increment,
+        # barebones:698), but its CPU arch measures from the true root
+        # (common_solving.hpp:831) — we follow the latter so engine and
+        # oracle stats agree side by side.
+        tree_depth = st.depth + (st.kpow - st.remaining)
+        dmax = jnp.maximum(st.dmax, jnp.where(act, tree_depth, 0))
 
         # III. Solutions (all propagators entailed; objective read at lb).
         impr = act & sol & jnp.where(is_opt,
@@ -567,9 +596,16 @@ class BatchedSolver:
         dleaf = act & leaf & in_dive
         nxt = jnp.left_shift(
             jnp.right_shift(st.subp, remaining) + 1, remaining)
-        skip_gain = jnp.where(
-            dleaf & ((st.subp & (jnp.left_shift(1, remaining) - 1)) == 0),
-            nxt - st.subp, 0)
+        # Subproblem accounting: a dive that dies on the leftmost path
+        # of its dead subtree completes its own subproblem (counted
+        # solved) and skips the rest of the range (nxt - subp - 1).
+        # The reference folds the current one into the skipped range
+        # (barebones:738); splitting it out makes solved+skipped
+        # partition the subproblem space exactly, so an exhausted run
+        # always shows every subproblem accounted for (VERDICT r2 §6).
+        dleaf_left = dleaf & (
+            (st.subp & (jnp.left_shift(1, remaining) - 1)) == 0)
+        skip_gain = jnp.where(dleaf_left, nxt - st.subp - 1, 0)
         skipped_sub = st.skipped_sub + skip_gain
         next_sub = jnp.maximum(st.next_sub[0],
                                jnp.where(dleaf, nxt, 0).max())
@@ -577,7 +613,7 @@ class BatchedSolver:
         # IX. Refill finished lanes from the subproblem counter
         # (barebones:877-884).
         want = dleaf | done_sub
-        solved_sub = st.solved_sub + done_sub.astype(I32)
+        solved_sub = st.solved_sub + (done_sub | dleaf_left).astype(I32)
         rank = jnp.cumsum(want.astype(I32)) - 1
         newidx = next_sub + jnp.where(want, rank, 0)
         havework = want & (newidx < shard_limit)
@@ -618,7 +654,12 @@ class BatchedSolver:
             def step_n(st):
                 return jax.lax.fori_loop(0, n, lambda i, s: self.step(s), st)
             from .exec_cache import cached_compile
+            # data_digest makes the disk-cache alias content-correct:
+            # the compiled step bakes plan tables (and seed-shuffled
+            # strategy lists) in as constants, so identical shapes with
+            # different data must not share an executable.
             program_key = ("step_n", n, self.plan.shape_signature,
+                           self.plan.data_digest,
                            self.cfg.num_dives, self.cfg.max_depth,
                            self.cfg.hot_depth,
                            self.cfg.fp_mode, self.cfg.fp_layout,

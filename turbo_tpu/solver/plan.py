@@ -139,6 +139,47 @@ class Plan:
         return sum(b[3].shape[0] * b[3].shape[1] for b in self.lin_buckets)
 
     @property
+    def data_digest(self) -> str:
+        """Content hash of everything the jitted step bakes in as
+        compile-time constants (linear coef/rhs tables, element/member
+        tables, lb0/ub0 clamp bounds, seed-shuffled strategy id lists,
+        bucket gather indices, objective id). Two plans with identical
+        shape signatures but different data MUST compile to different
+        executables — the disk-cache alias key includes this digest so
+        a shape collision can never load the wrong program."""
+        if getattr(self, "_data_digest", None) is None:
+            import hashlib
+            h = hashlib.sha256()
+            def upd(a):
+                a = np.ascontiguousarray(a)
+                h.update(str(a.dtype).encode())
+                h.update(str(a.shape).encode())
+                h.update(a.tobytes())
+            upd(self.lb0)
+            upd(self.ub0)
+            for op, xs, ys, zs in self.groups:
+                h.update(bytes([op]))
+                upd(xs); upd(ys); upd(zs)
+            for b in self.buckets:
+                h.update(repr((b.start, b.count)).encode())
+                upd(b.cand_idx)
+            for s in self.strategies:
+                h.update(f"{s.var_order}/{s.val_order}".encode())
+                upd(s.ids)
+            h.update(repr((self.obj, self.is_opt)).encode())
+            for a in (self.e_idx, self.e_res, self.e_len, self.e_tab,
+                      self.m_x, self.m_b, self.m_base, self.m_top,
+                      self.m_cnt, self.m_next_ge, self.m_prev_le,
+                      self.m_next_out, self.m_prev_out):
+                if a is not None:
+                    upd(a)
+            for bucket in self.lin_buckets:
+                for a in bucket:
+                    upd(a)
+            self._data_digest = h.hexdigest()[:24]
+        return self._data_digest
+
+    @property
     def shape_signature(self):
         """Everything that determines the compiled program's shapes."""
         return (
