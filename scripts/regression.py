@@ -21,6 +21,25 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+def make_solver(tnf, arch: str, or_nodes: int):
+    """Build the solver exactly as the regression runs it — shared with
+    scripts/warm_goldens.py so cache warming compiles the very same
+    programs (same config => same traced step => same executable)."""
+    from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
+    nd = or_nodes
+    if nd == 0:
+        from turbo_tpu.solver.plan import auto_num_dives
+        nd = auto_num_dives(tnf)
+    cfgc = EngineConfig(num_dives=nd, fp_max_iters=16)
+    if arch == "multi":
+        from turbo_tpu.parallel.mesh import ShardedSolver
+        return ShardedSolver(tnf, cfgc)
+    if arch == "hybrid":
+        from turbo_tpu.solver.hybrid import HybridSolver
+        return HybridSolver(tnf, cfgc)
+    return BatchedSolver(tnf, cfgc)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="tpu",
@@ -57,23 +76,10 @@ def main():
                 from turbo_tpu.solver.oracle import solve
                 r = solve(tnf, timeout_s=args.timeout)
             else:
-                from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
                 # Auto EPS split: the engine's root-tree probe shrinks
                 # the subproblem power on tiny proof trees by itself
                 # (probe_tree_power, engine.py), so no per-harness pin.
-                nd = args.or_nodes
-                if nd == 0:
-                    from turbo_tpu.solver.plan import auto_num_dives
-                    nd = auto_num_dives(tnf)
-                cfgc = EngineConfig(num_dives=nd, fp_max_iters=16)
-                if args.arch == "multi":
-                    from turbo_tpu.parallel.mesh import ShardedSolver
-                    s = ShardedSolver(tnf, cfgc)
-                elif args.arch == "hybrid":
-                    from turbo_tpu.solver.hybrid import HybridSolver
-                    s = HybridSolver(tnf, cfgc)
-                else:
-                    s = BatchedSolver(tnf, cfgc)
+                s = make_solver(tnf, args.arch, args.or_nodes)
                 r = s.solve(timeout_s=args.timeout)
             dt = time.time() - t0
             if r.status in ("optimal", "sat") and                     getattr(r, "best_lb", None) is not None:

@@ -769,3 +769,28 @@ def test_hot_depth_cold_branch_matches(bench_dir):
     assert r1.status == r2.status == "optimal"
     assert r1.objective == r2.objective == -16
     assert r1.nodes == r2.nodes
+
+
+def test_disable_simplify_changes_network_and_keeps_answers(bench_dir):
+    """-disable_simplify (config.cpp:41) must actually disable the
+    simplification passes: the device plan keeps entailed propagators
+    and compacted variables, the reported network stats change, and
+    the answer stays the same."""
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / "bug5.fzn")))
+    p_on = build_plan(tnf)
+    p_off = build_plan(tnf, disable_simplify=True)
+    assert p_off.num_real_props > p_on.num_real_props
+    assert int(p_off.dropped.sum()) == 0
+    # Solve with the flag: same optimum, and the result's stat block
+    # reflects the unsimplified network.
+    cfg = EngineConfig(num_dives=8, subproblems_power=4, max_depth=64,
+                       disable_simplify=True)
+    s = BatchedSolver(tnf, cfg)
+    r = s.solve(timeout_s=120, chunk=16)
+    assert r.status == "optimal" and r.objective == 2
+    assert r.propagators == p_off.num_real_props
+    s2 = BatchedSolver(tnf, EngineConfig(num_dives=8, subproblems_power=4,
+                                         max_depth=64))
+    r2 = s2.solve(timeout_s=120, chunk=16)
+    assert r2.propagators == p_on.num_real_props
+    assert r2.variables <= r.variables

@@ -136,6 +136,14 @@ def run(cfg: Configuration) -> int:
             print_mzn_statistics(stats, adapter)
         return 0
 
+    # Device archs: initialize the backend behind a watchdog FIRST — a
+    # dead TPU relay must degrade to a loud CPU fallback, never a
+    # silent infinite hang (observed failure mode of this relay).
+    from .utils.device import ensure_backend
+    backend = ensure_backend(cfg.platform, verbose=cfg.verbose > 0)
+    if backend == "cpu-fallback":
+        stats.stat("backend", '"cpu-fallback"')
+
     # Batched engine (single device or sharded mesh).
     from .solver.engine import BatchedSolver, EngineConfig
 
@@ -167,7 +175,8 @@ def run(cfg: Configuration) -> int:
                          enumerate_all=enumerate_all,
                          fp_mode=("wac1" if cfg.fixpoint == "wac1"
                                   else "fixpoint"),
-                         wac1_threshold=cfg.wac1_threshold)
+                         wac1_threshold=cfg.wac1_threshold,
+                         disable_simplify=cfg.disable_simplify)
     if arch == "multi":
         from .parallel.mesh import ShardedSolver
 

@@ -128,6 +128,10 @@ class EngineConfig:
     # All-solutions mode (-a / -n>1 on satisfaction problems): count
     # only all-singleton stores, splitting entailed boxes further.
     enumerate_all: bool = False
+    # -disable_simplify (config.cpp:41): skip the plan's simplification
+    # passes (entailed-prop drop, rhs folding, store compaction); the
+    # root fixpoint still runs (preprocess_tcn, common_solving.hpp:530).
+    disable_simplify: bool = False
 
 
 def probe_tree_power(tnf, probe_nodes: int = 2000,
@@ -238,7 +242,8 @@ class BatchedSolver:
         self.cfg = config
         self.axis_name = axis_name
         self.num_shards = num_shards
-        self.plan = build_plan(tnf)
+        self.plan = build_plan(tnf,
+                               disable_simplify=config.disable_simplify)
         self._apply_strategy_config()
         self.kernels = PropagatorKernels(self.plan)
         if (config.fp_mode == "wac1"

@@ -55,7 +55,8 @@ class HybridSolver:
     def __init__(self, tnf: Tnf, config: EngineConfig = EngineConfig()):
         self.tnf = tnf
         self.cfg = config
-        self.plan = build_plan(tnf)
+        self.plan = build_plan(tnf,
+                               disable_simplify=config.disable_simplify)
         from .engine import apply_strategy_config, auto_max_depth
         if config.max_depth <= 0:
             import dataclasses as _dc

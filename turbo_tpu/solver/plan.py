@@ -230,7 +230,14 @@ def auto_num_dives(tnf: Tnf, budget_bytes: Optional[int] = None,
     return p
 
 
-def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
+def build_plan(tnf: Tnf, max_bucket_k: int = 64,
+               disable_simplify: bool = False) -> Plan:
+    """disable_simplify mirrors the reference's -disable_simplify
+    (config.cpp:41, preprocess_tcn common_solving.hpp:530-536): the
+    root fixpoint still runs, but the simplification passes — entailed-
+    propagator elimination, root-singleton rhs folding, useless-variable
+    store compaction — are skipped, so the device plan carries the full
+    unsimplified constraint network."""
     Vr = tnf.num_vars  # real var count
     lb = tnf.lb0.copy()
     ub = tnf.ub0.copy()
@@ -250,7 +257,7 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
     num_real_props = 0
     for op, sl in table.groups:
         xs, ys, zs = table.xs[sl], table.ys[sl], table.zs[sl]
-        if root_unsat:
+        if root_unsat or disable_simplify:
             keep = np.ones(len(xs), dtype=bool)
         else:
             keep = ~deduce_np.ask(op, lb[xs], ub[xs], lb[ys], ub[ys], lb[zs], ub[zs])
@@ -259,7 +266,7 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
             num_real_props += int(keep.sum())
     keep_elems = list(tnf.elements)
     keep_members = list(tnf.members)
-    if not root_unsat:
+    if not root_unsat and not disable_simplify:
         if keep_elems:
             ask_e = table._element_ask(lb, ub)
             keep_elems = [e for e, a in zip(keep_elems, ask_e) if not a]
@@ -267,7 +274,7 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
             ask_m = table._member_ask(lb, ub)
             keep_members = [m for m, a in zip(keep_members, ask_m) if not a]
     keep_lins = list(tnf.linears)
-    if not root_unsat and keep_lins:
+    if not root_unsat and keep_lins and not disable_simplify:
         ask_l = table._linear_ask(lb, ub)
         keep_lins = [l for l, a in zip(keep_lins, ask_l) if not a]
         # Fold root-singleton terms into the rhs (shrinks term counts).
@@ -337,6 +344,8 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64) -> Plan:
     # root at output time). The objective is always kept (the engine
     # reads lb[:, obj] even when it is root-fixed).
     dropped = (~active) & (deg == 0)
+    if disable_simplify:
+        dropped[:] = False  # no useless-variable store compaction
     if tnf.obj_var >= 0:
         dropped[tnf.obj_var] = False
     sing_ids = np.nonzero(~active & ~dropped)[0]

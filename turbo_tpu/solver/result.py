@@ -79,7 +79,13 @@ class EngineResult:
             eps_skipped_subproblems=int(skipped.sum()),
             exhaustive=exhaustive, solve_time=elapsed,
             num_blocks=len(phase), num_blocks_done=int((phase == 2).sum()),
-            variables=tnf.num_vars, propagators=plan.num_real_props)
+            # The post-preprocessing network size (reference: the stats
+            # reflect the simplified TCN, analyze_tcn "preprocessed_tcn")
+            # — store-compacted variables are not counted, so
+            # -disable_simplify measurably changes both numbers.
+            variables=tnf.num_vars - (int(plan.dropped.sum())
+                                      if plan.dropped is not None else 0),
+            propagators=plan.num_real_props)
         if not any_best:
             res.status = "unsat" if exhaustive else "unknown"
             return res

@@ -44,6 +44,9 @@ class Configuration:
     wac1_threshold: int = 0              # -wac1_threshold
     version_tag: str = ""                # -version (echo-only, config.cpp:36)
     hardware: str = ""                   # -hardware (echo-only, config.cpp:37)
+    platform: str = ""                   # -platform (TPU extra): force the
+                                         # jax platform; empty = probe the
+                                         # default with a hang watchdog
     only_global_memory: bool = False     # -globalmem (no-op on TPU: there is
                                          # no shared-vs-global placement axis)
 
@@ -111,6 +114,10 @@ def parse_args(argv=None) -> Configuration:
                         '("CPU;RAM;TPU", config.cpp:37)')
     p.add_argument("-checkpoint", default="", metavar="PATH",
                    help="periodically save search state; resume if PATH exists")
+    p.add_argument("-platform", default="", metavar="NAME",
+                   help="force the jax platform (e.g. cpu); empty = use "
+                        "the environment default, probed with a hang "
+                        "watchdog (TURBO_TPU_PLATFORM env equivalent)")
     p.add_argument("-version", default="", metavar="TAG",
                    help="version identifier echoed in statistics for "
                         "replicability (config.cpp:36)")
@@ -140,6 +147,7 @@ def parse_args(argv=None) -> Configuration:
         disable_network_analysis=a.disable_network_analysis,
         fixpoint=a.fp, wac1_threshold=a.wac1_threshold,
         version_tag=a.version, hardware=a.hardware,
+        platform=a.platform,
         only_global_memory=a.globalmem)
 
 
