@@ -112,31 +112,56 @@ def main():
     # the budget - a short valid measurement beats a zero division.
     remaining = BUDGET_S - (time.monotonic() - t_start)
     measure_s = max(15.0, min(MEASURE_S, remaining))
+    # Bound trajectory is always recorded: nodes/s alone is gameable
+    # (a weaker fixpoint inflates nodes while slowing real search
+    # progress, VERDICT r2); the (time, best_bound) curve proves the
+    # measured throughput is doing real optimization work.
     trajectory = []
+    deds_mid = None
     while time.monotonic() - t0 < measure_s:
         st = step_n(st)
         steps += CHUNK
         if steps % 256 == 0:
             # Real sync (see above): device_get, not block_until_ready.
             bb = int(jax.device_get(st.best_bound).min())
-            if os.environ.get("BENCH_TRAJECTORY"):
-                trajectory.append((round(time.monotonic() - t0, 2), bb))
+            trajectory.append((round(time.monotonic() - t0, 2), bb))
     dt_dispatch = time.monotonic() - t0
     got = jax.device_get((st.nodes, st.best_bound, st.fpit, st.deds))
     dt = time.monotonic() - t0
     if dt - dt_dispatch > 1.0:
         log(f"final drain took {dt - dt_dispatch:.1f}s "
             f"(in-flight chunks at window end)")
-    if trajectory:
-        log(f"bound trajectory: {trajectory}")
+    log(f"bound trajectory: {trajectory}")
     nodes1 = int(np.asarray(got[0]).sum())
     nodes_per_s = (nodes1 - nodes0) / dt
     bb = int(np.asarray(got[1]).min())
     fpit = int(np.asarray(got[2]).sum())
     deds = float(np.asarray(got[3]).sum())
+    deds_per_s = deds / dt
+    # Time at which the final best bound was first reached (within the
+    # trajectory's chunk resolution).
+    time_to_bound = next((t for t, b in trajectory if b == bb), dt)
+    # HBM roofline for the propagation sweep (the hot loop): each AC-1
+    # iteration streams the store planes, the role gathers, and the
+    # candidate/native working tensors once per dive — the same
+    # accounting auto_num_dives uses (plan.py). The sweep is gather/
+    # bandwidth-bound (no MXU work), so deductions/s is capped at
+    #   BW * real_props / per_dive_sweep_bytes.
+    plan = solver.plan
+    elem_cells = int(plan.E * (plan.e_tab.shape[1] if plan.e_tab is not None else 0))
+    memb_cells = int(8 * plan.M)
+    lin_cells = int(3 * plan.L_terms)
+    per_dive_bytes = 4 * (2 * plan.V + 26 * plan.P
+                          + 2 * (elem_cells + memb_cells + lin_cells))
+    HBM_BW = float(os.environ.get("BENCH_HBM_GBPS", "819")) * 1e9  # v5e
+    ceiling_deds = HBM_BW * max(plan.num_real_props, 1) / max(per_dive_bytes, 1)
+    utilization = deds_per_s / ceiling_deds
     log(f"steady state: {nodes1 - nodes0} nodes in {dt:.1f}s "
-        f"({nodes_per_s:.0f} nodes/s), best_bound={bb}, "
-        f"fixpoint_iters={fpit}, deductions={deds:.3g}")
+        f"({nodes_per_s:.0f} nodes/s), best_bound={bb} "
+        f"(reached @{time_to_bound:.1f}s), fixpoint_iters={fpit}, "
+        f"deductions={deds:.3g} ({deds_per_s:.3g}/s; HBM-roofline "
+        f"ceiling {ceiling_deds:.3g}/s -> {100*utilization:.1f}% of "
+        f"speed-of-light)")
 
     baseline_path = os.path.join(REPO, "BENCH_BASELINE.json")
     vs = 1.0
@@ -154,6 +179,13 @@ def main():
         "value": round(nodes_per_s, 1),
         "unit": "nodes/s",
         "vs_baseline": round(vs, 3),
+        "deductions_per_s": round(deds_per_s, 1),
+        "best_bound_at_end": bb,
+        "measure_window_s": round(dt, 1),
+        "time_to_bound_s": round(time_to_bound, 1),
+        "bound_trajectory": trajectory[:64],
+        "hbm_roofline_deds_per_s": round(ceiling_deds, 1),
+        "roofline_utilization": round(utilization, 4),
     }
     if backend_mode != "default":
         out["invalid_for_perf"] = True

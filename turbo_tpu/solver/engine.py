@@ -320,6 +320,27 @@ class BatchedSolver:
     # -- state --------------------------------------------------------
 
     def init_state(self, shard_idx: int = 0) -> SearchState:
+        """Fresh search state, built by ONE compiled device program.
+
+        Eagerly dispatching the ~40 jnp allocations below costs a
+        remote compile round-trip EACH on the axon relay (~2 min of
+        wall clock per instance, measured round 3); fusing them into a
+        single jitted program makes state init one ~1s compile that the
+        disk executable cache then amortizes to ~0."""
+        if not hasattr(self, "_init_cache"):
+            self._init_cache = {}
+        if shard_idx not in self._init_cache:
+            from .exec_cache import cached_compile
+            program_key = ("init_state", shard_idx, self.num_shards,
+                           self.plan.shape_signature, self.plan.data_digest,
+                           self.cfg.num_dives, self.cfg.max_depth,
+                           self.k, bool(getattr(self, "has_eps", False)))
+            self._init_cache[shard_idx] = cached_compile(
+                jax.jit(functools.partial(self._init_state_impl, shard_idx)),
+                (), program_key)
+        return self._init_cache[shard_idx]()
+
+    def _init_state_impl(self, shard_idx: int = 0) -> SearchState:
         D = self.cfg.num_dives
         V = self.plan.V
         MAXD = self.cfg.max_depth
