@@ -794,3 +794,30 @@ def test_disable_simplify_changes_network_and_keeps_answers(bench_dir):
     r2 = s2.solve(timeout_s=120, chunk=16)
     assert r2.propagators == p_on.num_real_props
     assert r2.variables <= r.variables
+
+
+def test_engine_stats_parity_with_oracle(bench_dir):
+    """Side-by-side stat fidelity (VERDICT r2 §6): on an exhausted run
+    the engine's subproblem accounting must partition the EPS space
+    exactly, peakDepth must count dive decisions (the oracle measures
+    from the true root, common_solving.hpp:831), and the headline
+    results must agree with the sequential oracle."""
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" /
+                                      "sudoku_opt3.fzn")))
+    ro = oracle_solve(tnf, timeout_s=120)
+    s = BatchedSolver(tnf, EngineConfig(num_dives=8, subproblems_power=5,
+                                        max_depth=64))
+    r = s.solve(timeout_s=120, chunk=16)
+    assert r.status == ro.status == "optimal"
+    assert r.objective == ro.objective
+    assert r.exhaustive and ro.stats.exhaustive
+    # Every one of the 2^5 subproblems is accounted for: solved by a
+    # completed SOLVE phase or the leftmost representative of a
+    # skipped subtree (solved), plus the rest of each dead range.
+    assert (r.eps_solved_subproblems + r.eps_skipped_subproblems
+            == r.eps_num_subproblems)
+    # The proof branched; with dive decisions counted, peak depth is
+    # positive and can reach at most the oracle's true-root depth plus
+    # the EPS path length.
+    assert 0 < r.depth_max <= ro.stats.depth_max + 5
+    assert ro.stats.depth_max > 0

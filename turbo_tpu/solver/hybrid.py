@@ -202,7 +202,10 @@ class HybridSolver:
             # Dispatch is async; the fetch blocks until the kernel is
             # done, so (now - td) is device time + transfer together.
             phases = np.array([0 if c.remaining > 0 else 1 for c in act])
-            warmup = nodes == 0  # first round includes jit compile
+            # First round includes the jit compile — unless the exec
+            # cache made it instant (a warm sub-second first dispatch
+            # is a real measurement, VERDICT r2 weak-7).
+            warmup = nodes == 0 and (now - td) > 1.0
             timers.record_chunk(now - td, fpit_total + int(ith.sum()),
                                 phases, 1, now - t0, measured=not warmup)
             for i, c in enumerate(act):
@@ -216,12 +219,17 @@ class HybridSolver:
                     fails += 1
                     if diving:
                         # Every dive leaf advances the shared counter
-                        # (barebones:717-741); the skip count is only
-                        # attributed to the leftmost lane of the prefix
-                        # subtree to avoid double counting.
+                        # (barebones:717-741). Accounting partitions the
+                        # space exactly (engine semantics): the LEFTMOST
+                        # lane of the dead prefix subtree counts itself
+                        # solved (via next_work) plus the rest of the
+                        # range skipped; other lanes in the range count
+                        # nothing (they are inside that skipped range).
                         nxt = ((c.subp >> c.remaining) + 1) << c.remaining
                         if (c.subp & ((1 << c.remaining) - 1)) == 0:
-                            skipped_sub += nxt - c.subp
+                            skipped_sub += nxt - c.subp - 1
+                        else:
+                            c.subp = -1  # suppress the solved count
                         next_sub = max(next_sub, nxt)
                     next_work(c)
                     continue
@@ -243,7 +251,9 @@ class HybridSolver:
                         nxt = ((c.subp >> c.remaining) + 1) << c.remaining
                         next_sub = max(next_sub, nxt)
                         if leftmost:
-                            skipped_sub += nxt - c.subp
+                            skipped_sub += nxt - c.subp - 1
+                        else:
+                            c.subp = -1  # inside the leftmost's range
                     if self.cfg.enumerate_all and diving and not leftmost:
                         next_work(c)
                         continue
