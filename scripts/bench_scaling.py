@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--fp-cap", type=int, default=16)
     ap.add_argument("--fp-layout", default="dv", choices=["dv", "vd"])
+    ap.add_argument("--fp-mode", default="fixpoint",
+                    choices=["fixpoint", "fixed", "wac1"])
+    ap.add_argument("--fp-fixed-iters", type=int, default=2)
+    ap.add_argument("--max-depth", type=int, default=256)
     ap.add_argument("--out", default="/tmp/scaling_results.jsonl")
     args = ap.parse_args()
 
@@ -54,11 +58,13 @@ def main():
     for D in [int(x) for x in args.dives.split(",")]:
         row = {"instance": inst, "platform": platform, "D": D,
                "chunk": args.chunk, "fp_cap": args.fp_cap,
-               "fp_layout": args.fp_layout}
+               "fp_layout": args.fp_layout, "fp_mode": args.fp_mode,
+               "max_depth": args.max_depth}
         t0 = time.monotonic()
         solver = BatchedSolver(tnf, EngineConfig(
-            num_dives=D, subproblems_power=14, max_depth=256,
-            fp_max_iters=args.fp_cap, fp_layout=args.fp_layout))
+            num_dives=D, subproblems_power=14, max_depth=args.max_depth,
+            fp_max_iters=args.fp_cap, fp_layout=args.fp_layout,
+            fp_mode=args.fp_mode, fp_fixed_iters=args.fp_fixed_iters))
         st = solver.init_state()
         step_n = solver.make_step_n(args.chunk)
         st = step_n(st)

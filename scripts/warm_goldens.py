@@ -59,7 +59,9 @@ def main():
                 print(f"SKIP {name:34s} root-unsat (no device program)",
                       flush=True)
                 continue
+            ta = time.monotonic()
             st = s.init_state()
+            tb = time.monotonic()
             step_n = s.make_step_n(CHUNK)
             t1 = time.monotonic()
             st = step_n(st)
@@ -68,8 +70,9 @@ def main():
             # deserialized executables).
             jax.device_get(st.phase)
             cfg = s.cfg if hasattr(s, "cfg") else s.solver.cfg
-            print(f"WARM {name:34s} build={t1-t0:6.1f}s "
-                  f"compile+chunk={time.monotonic()-t1:7.1f}s "
+            print(f"WARM {name:34s} host={ta-t0:5.1f}s "
+                  f"init={tb-ta:6.1f}s step_compile={t1-tb:6.1f}s "
+                  f"chunk={time.monotonic()-t1:5.1f}s "
                   f"D={cfg.num_dives} depth={cfg.max_depth}", flush=True)
         except Exception as e:
             print(f"ERR  {name:34s} {type(e).__name__}: {e}", flush=True)
