@@ -821,3 +821,19 @@ def test_engine_stats_parity_with_oracle(bench_dir):
     # the EPS path length.
     assert 0 < r.depth_max <= ro.stats.depth_max + 5
     assert ro.stats.depth_max > 0
+
+
+def test_tail_resplit_preserves_answers(bench_dir):
+    """EPS tail refinement (round 3): when the subproblem range drains
+    and stragglers remain, the engine re-splits them 2^j-finer and
+    reseeds. The proof must stay exhaustive with the same optimum, and
+    the subproblem accounting must stay in coarse 2^k units."""
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" /
+                                      "sudoku_opt_p0.fzn")))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=32, subproblems_power=5,
+                                        max_depth=128))
+    r = s.solve(timeout_s=300, chunk=8)
+    assert r.status == "optimal" and r.objective == -3
+    assert r.exhaustive
+    assert (r.eps_solved_subproblems + r.eps_skipped_subproblems
+            == r.eps_num_subproblems == 32)

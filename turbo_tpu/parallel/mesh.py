@@ -170,8 +170,8 @@ class ShardedSolver:
                            self.solver.cfg.fp_mode,
                            self.solver.cfg.fp_layout,
                            self.solver.cfg.fp_fixed_iters,
-                           self.solver.cfg.wac1_inner_cap,
-                           self.solver.cfg.fp_max_iters, self.n_shards,
+                           self.solver.cfg.fp_unroll,
+                           self.solver.cfg.wac1_inner_cap, self.n_shards,
                            self.solver.cfg.enumerate_all)
             self._step_n_cache[n] = cached_compile(
                 jax.jit(sharded_steps, donate_argnums=0),

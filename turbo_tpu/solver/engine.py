@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import List, NamedTuple, Optional
 
@@ -88,6 +89,11 @@ class SearchState(NamedTuple):
     # The local pmin cannot see other processes' meshes, so the host
     # loop meets the allgathered global bound into this field.
     ext_bound: jnp.ndarray # (D,) int32 (replicated)
+    # Per-step fixpoint sweep cap, TRACED so cap tuning (and host-side
+    # adaptation) costs no recompile. The while trip count per step is
+    # the max over lanes, so this cap IS the per-step sweep count on
+    # unconverged workloads — the main per-node latency knob.
+    fp_cap: jnp.ndarray    # (D,) int32 (replicated)
 
 
 @dataclasses.dataclass
@@ -115,6 +121,12 @@ class EngineConfig:
     # gathers - see PropagatorKernels.iteration_t).
     fp_layout: str = "dv"
     fp_fixed_iters: int = 2
+    # Sweeps unrolled inside each fixpoint while-iteration. Measured on
+    # the chip (pat13, D=1024): no runtime win — the while trip count
+    # is set by the slowest lane (~the cap) either way — but ~4x the
+    # compile time, so the default stays 1. The knob remains for
+    # toolchains with costlier while iterations.
+    fp_unroll: int = 1
     # Hot prefix of the decision stacks: backtrack replays deeper than
     # this take a rarely-executed slow branch (see step VII).
     hot_depth: int = 256
@@ -186,15 +198,32 @@ def auto_max_depth(plan) -> int:
 def choose_subproblems_power(tnf, config, num_shards: int,
                              allow_probe: bool = True) -> int:
     """EPS split size 2^k: pinned -sub, or the occupancy-factor default
-    (config.hpp:76) capped by the root-tree probe. Multi-host callers
-    compute k on ONE host and broadcast it (MultiHostSolver), because
-    the probe is wall-clock bounded and may differ between hosts under
-    load — inconsistent k would break the shared subproblem-id space."""
+    (config.hpp:76) capped by the root-tree probe AND by a dive-work
+    budget. Multi-host callers compute k on ONE host and broadcast it
+    (MultiHostSolver), because the probe is wall-clock bounded and may
+    differ between hosts under load — inconsistent k would break the
+    shared subproblem-id space.
+
+    The dive budget is the SIMD-specific correction to the reference's
+    factor heuristic: every subproblem refill costs up to k lockstep
+    propagate+branch steps before the solve phase starts, and a lane
+    step costs the same whether 1 or 1024 lanes are live. With the raw
+    factor formula (2^19 at D=1024) a ~136k-node proof tree (pat13)
+    pays ~10M dive visits — measured 99% of lanes stuck in DIVE phase.
+    Capping per-lane dive work at TURBO_TPU_DIVE_BUDGET lockstep steps
+    (default 1500, ~30-60 s of steps on mid-size instances) keeps the
+    dive overhead proportionate; under-splitting only risks tail skew,
+    which the shared refill counter and host-side stealing absorb."""
     D = config.num_dives
     k = config.subproblems_power
     if k <= 0:
         total = max(1, config.subproblems_factor * D * num_shards)
         k = max(1, int(np.ceil(np.log2(total))))
+        budget = int(os.environ.get("TURBO_TPU_DIVE_BUDGET", "1500"))
+        kb = 1
+        while kb < 30 and ((1 << (kb + 1)) * (kb + 1)) // max(D * num_shards, 1) <= budget:
+            kb += 1
+        k = min(k, kb)
         if not config.enumerate_all and allow_probe:
             kp = probe_tree_power(tnf)
             if kp is not None:
@@ -399,6 +428,7 @@ class BatchedSolver:
             eps_strat=jnp.full((D,), int(getattr(self, "has_eps", False)),
                                dtype=I32),
             ext_bound=jnp.full((D,), INF, dtype=I32),
+            fp_cap=jnp.full((D,), self.cfg.fp_max_iters, dtype=I32),
         )
 
     # -- the step function -------------------------------------------
@@ -438,18 +468,20 @@ class BatchedSolver:
         # named scope tags every propagation HLO op so the profiler can
         # measure the FIXPOINT/SEARCH split (solver/profile_split.py).
         with jax.named_scope("fixpoint"):
+            fp_cap = st.fp_cap[0]
             if cfg.fp_mode == "fixed":
                 lb, ub, iters = self.kernels.fixed_sweeps(
                     lb, ub, cfg.fp_fixed_iters)
             elif cfg.fp_mode == "wac1":
                 lb, ub, iters = self.kernels.fixpoint_wac1(
-                    lb, ub, cfg.fp_max_iters, cfg.wac1_inner_cap)
+                    lb, ub, fp_cap, cfg.wac1_inner_cap)
             elif cfg.fp_layout == "vd":
                 lbT, ubT, iters = self.kernels.fixpoint_t(
-                    lb.T, ub.T, cfg.fp_max_iters)
+                    lb.T, ub.T, fp_cap, cfg.fp_unroll)
                 lb, ub = lbT.T, ubT.T
             else:
-                lb, ub, iters = self.kernels.fixpoint(lb, ub, cfg.fp_max_iters)
+                lb, ub, iters = self.kernels.fixpoint(
+                    lb, ub, fp_cap, cfg.fp_unroll)
         bot = self.kernels.is_bot(lb, ub)
         ent = self.kernels.all_entailed(lb, ub) & ~bot
 
@@ -668,9 +700,74 @@ class BatchedSolver:
             deds=deds, dmax=dmax, solved_sub=solved_sub,
             skipped_sub=skipped_sub, obj=st.obj, is_opt=st.is_opt,
             kpow=st.kpow, sub_limit=st.sub_limit, pscale=st.pscale,
-            eps_strat=st.eps_strat, ext_bound=st.ext_bound)
+            eps_strat=st.eps_strat, ext_bound=st.ext_bound,
+            fp_cap=st.fp_cap)
 
     # -- host driver --------------------------------------------------
+
+    def _tail_resplit(self, st, phase, max_new_kpow: int = 28):
+        """EPS tail refinement: when the subproblem range is drained and
+        only a few straggler lanes are still solving, re-split each
+        unfinished subproblem 2^j-ways (extending its bit-path) and
+        reseed the whole lane batch over the refined space.
+
+        This is the SIMD answer to EPS tail skew: a deep subtree that
+        one lane would grind sequentially for minutes (measured: pat13
+        ends with ~5 live lanes for >60 s while 1019 idle) becomes a
+        2^j-wide parallel dive-and-solve of its own. Sound because the
+        2^j refined bit-paths partition the unfinished subproblem
+        exactly (same argument as the root split); already-completed
+        work is never repeated — only the stragglers' in-progress
+        subtrees are re-explored from their subproblem roots.
+
+        Returns the reseeded state (numpy surgery, like the multi-host
+        reseed) or None when refinement isn't worthwhile."""
+        D = self.cfg.num_dives
+        active = np.nonzero(phase != IDLE)[0]
+        if len(active) == 0 or len(active) > D // 4:
+            return None
+        j = int(np.floor(np.log2(D / len(active))))
+        j = min(j, 8)
+        if j < 2:
+            return None
+        host = jax.device_get(st)
+        host = jax.tree.map(np.asarray, host)
+        pairs = [(int(host.subp[i]), int(host.kpow[i])) for i in active]
+        pairs = sorted(set(pairs))
+        j = min(j, max_new_kpow - max(kp for _, kp in pairs))
+        if j < 2:
+            return None
+        new_subp = []
+        new_kpow = []
+        for sp, kp in pairs:
+            for suf in range(1 << j):
+                new_subp.append((sp << j) | suf)
+                new_kpow.append(kp + j)
+        n_new = len(new_subp)
+        if n_new > D:  # shouldn't happen with j from the formula
+            return None
+        out = {f: getattr(host, f).copy()
+               for f in ("phase", "subp", "kpow", "remaining", "depth",
+                         "strat", "snap_strat", "next_sub", "sub_limit",
+                         "lb", "ub", "root_lb", "root_ub")}
+        out["phase"][:] = IDLE
+        out["phase"][:n_new] = DIVE
+        out["subp"][:n_new] = new_subp
+        out["kpow"][:n_new] = new_kpow
+        out["remaining"][:n_new] = new_kpow
+        out["depth"][:] = 0
+        out["strat"][:] = 0
+        out["snap_strat"][:] = 0
+        out["next_sub"][:] = 0   # every refined subproblem is lane-
+        out["sub_limit"][:] = 0  # resident; no counter refills
+        lb0 = self.plan.lb0[None, :]
+        ub0 = self.plan.ub0[None, :]
+        out["lb"][:] = lb0
+        out["ub"][:] = ub0
+        out["root_lb"][:] = lb0
+        out["root_ub"][:] = ub0
+        host = host._replace(**out)
+        return jax.tree.map(jnp.asarray, host), len(pairs)
 
     def make_step_n(self, n: int):
         if not hasattr(self, "_step_n_cache"):
@@ -689,9 +786,8 @@ class BatchedSolver:
                            self.cfg.num_dives, self.cfg.max_depth,
                            self.cfg.hot_depth,
                            self.cfg.fp_mode, self.cfg.fp_layout,
-                           self.cfg.fp_fixed_iters,
-                           self.cfg.wac1_inner_cap,
-                           self.cfg.fp_max_iters, self.axis_name,
+                           self.cfg.fp_fixed_iters, self.cfg.fp_unroll,
+                           self.cfg.wac1_inner_cap, self.axis_name,
                            self.cfg.enumerate_all)
             self._step_n_cache[n] = cached_compile(
                 step_n, (self.init_state(),), program_key, verbose=True)
@@ -758,6 +854,8 @@ class BatchedSolver:
         best_seen = None
         best_obj_time = 0.0
         last_best = INF + 1
+        resplit_rounds = 0
+        resplit_base = None
         while True:
             td = time.monotonic()
             st = step_n(st)
@@ -773,8 +871,9 @@ class BatchedSolver:
             tg = time.monotonic()
             # One transfer per chunk: the relay has a ~2ms floor per
             # device round trip, so fetch all host-loop inputs at once.
-            phase, sols, fpit, bbs = jax.device_get(
-                (st.phase, st.sols, st.fpit, st.best_bound))
+            phase, sols, fpit, bbs, nsub, slim = jax.device_get(
+                (st.phase, st.sols, st.fpit, st.best_bound,
+                 st.next_sub, st.sub_limit))
             fetch_dur = time.monotonic() - tg
             # On the axon relay, block_until_ready on a *deserialized*
             # executable's outputs returns immediately; the real wait
@@ -830,6 +929,26 @@ class BatchedSolver:
             if time.monotonic() - t0 > timeout_s or steps >= max_steps:
                 stopped = True
                 break
+            # EPS tail refinement: range drained, few stragglers left.
+            if (nsub[0] >= slim[0] and resplit_rounds < 8
+                    and not self.cfg.enumerate_all
+                    and timeout_s - (time.monotonic() - t0) > 5.0):
+                res2 = self._tail_resplit(st, phase)
+                if res2 is not None:
+                    st, n_coarse = res2
+                    if resplit_base is None:
+                        # Snapshot coarse accounting: refined-unit
+                        # counter deltas after this point are credited
+                        # as the n_coarse outstanding subproblems once
+                        # the run exhausts (EngineResult post-fix).
+                        solved0, skipped0 = jax.device_get(
+                            (st.solved_sub, st.skipped_sub))
+                        resplit_base = (int(solved0.sum()),
+                                        int(skipped0.sum()), n_coarse)
+                    resplit_rounds += 1
+                    if verbose:
+                        print(f"% tail resplit #{resplit_rounds}: "
+                              f"{n_coarse} stragglers refined")
             if node_limit and int(jax.device_get(st.nodes.sum())) >= node_limit:
                 stopped = True
                 break
@@ -847,6 +966,16 @@ class BatchedSolver:
             save_state(self, st, checkpoint_path)
         res = EngineResult.from_state(self, st, stopped,
                                        time.monotonic() - t0)
+        if resplit_base is not None:
+            # Report subproblem accounting in COARSE (2^k) units: the
+            # refined-unit deltas accumulated after the first resplit
+            # collapse back into the stragglers they partition.
+            solved0, skipped0, n_coarse = resplit_base
+            res.eps_solved_subproblems = solved0 + (
+                n_coarse if res.exhaustive else 0)
+            res.eps_skipped_subproblems = skipped0
+            res.eps_redistributions = (getattr(res, "eps_redistributions", 0)
+                                       or 0) + resplit_rounds
         res.best_obj_time = best_obj_time
         timers.fill_result(res, res.solve_time)
         return res

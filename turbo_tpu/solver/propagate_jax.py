@@ -695,10 +695,13 @@ class PropagatorKernels:
         return (jnp.minimum(lb2, self._ub_cap[:, None]),
                 jnp.maximum(ub2, self._lb_floor[:, None]))
 
-    def fixpoint_t(self, lbT, ubT, max_iters: int = 100000):
-        """AC-1 fixpoint on (V, D) planes. Returns (lbT, ubT, iters)."""
+    def fixpoint_t(self, lbT, ubT, max_iters: int = 100000,
+                   unroll: int = 1):
+        """AC-1 fixpoint on (V, D) planes. Returns (lbT, ubT, iters).
+        See `fixpoint` for the unroll rationale."""
         if self.P == 0:
             return lbT, ubT, jnp.zeros(lbT.shape[1], dtype=I32)
+        unroll = max(1, unroll)
 
         def cond(carry):
             _, _, _, changed, it = carry
@@ -706,11 +709,16 @@ class PropagatorKernels:
 
         def body(carry):
             lbT, ubT, iters, changed, it = carry
-            lb2, ub2 = self.iteration_t(lbT, ubT)
-            dchanged = jnp.any((lb2 != lbT) | (ub2 != ubT), axis=0)
-            bot = jnp.any(lb2 > ub2, axis=0)
-            iters = iters + changed.astype(I32)
-            return lb2, ub2, iters, dchanged & ~bot, it + 1
+            lb2, ub2 = lbT, ubT
+            m = changed
+            for _ in range(unroll):
+                lb3, ub3 = self.iteration_t(lb2, ub2)
+                iters = iters + m.astype(I32)
+                dch = jnp.any((lb3 != lb2) | (ub3 != ub2), axis=0)
+                bot = jnp.any(lb3 > ub3, axis=0)
+                m = m & dch & ~bot
+                lb2, ub2 = lb3, ub3
+            return lb2, ub2, iters, m, it + unroll
 
         zero_lane = lbT[0] * 0
         init = (lbT, ubT, zero_lane, zero_lane == 0, zero_lane[0])
@@ -815,11 +823,23 @@ class PropagatorKernels:
 
     # -- fixpoint -----------------------------------------------------
 
-    def fixpoint(self, lb, ub, max_iters: int = 100000):
-        """AC-1 fixpoint. Returns (lb, ub, iters (D,) int32)."""
+    def fixpoint(self, lb, ub, max_iters: int = 100000,
+                 unroll: int = 1):
+        """AC-1 fixpoint. Returns (lb, ub, iters (D,) int32).
+
+        `unroll` sweeps run inside each while iteration: on the TPU a
+        while-loop iteration carries a large fixed overhead (separate
+        body launches, no cross-iteration fusion, a 24 MB convergence
+        compare per sweep — measured ~10x the cost of the same sweep
+        unrolled, round 3), so amortizing it over K sweeps cuts
+        per-node latency several-fold. Semantics stay the exact
+        fixpoint: sweeps are monotone and idempotent at the fixpoint,
+        so overshooting a converged lane by <K sweeps changes nothing;
+        the convergence check still gates exit."""
         if self.P == 0:
             D = lb.shape[0]
             return lb, ub, jnp.zeros(D, dtype=I32)
+        unroll = max(1, unroll)
 
         def cond(carry):
             _, _, _, changed, it = carry
@@ -827,11 +847,16 @@ class PropagatorKernels:
 
         def body(carry):
             lb, ub, iters, changed, it = carry
-            lb2, ub2 = self.iteration(lb, ub)
-            dchanged = jnp.any((lb2 != lb) | (ub2 != ub), axis=1)
-            bot = jnp.any(lb2 > ub2, axis=1)
-            iters = iters + changed.astype(I32)
-            return lb2, ub2, iters, dchanged & ~bot, it + 1
+            lb2, ub2 = lb, ub
+            m = changed
+            for _ in range(unroll):
+                lb3, ub3 = self.iteration(lb2, ub2)
+                iters = iters + m.astype(I32)
+                dch = jnp.any((lb3 != lb2) | (ub3 != ub2), axis=1)
+                bot = jnp.any(lb3 > ub3, axis=1)
+                m = m & dch & ~bot
+                lb2, ub2 = lb3, ub3
+            return lb2, ub2, iters, m, it + unroll
 
         # Derive loop-carry inits from lb so they inherit its
         # varying-manual-axes type under shard_map (fresh constants
