@@ -38,6 +38,9 @@ def main():
         "fixed2:dv:64:256,fixpoint:dv:16:256,fixpoint:dv:64:0"),
         help="comma list of mode:layout:chunk:maxdepth (mode fixedN = "
              "fixed sweeps with N iters; maxdepth 0 = auto)")
+    ap.add_argument("--caps", default="",
+                    help="extra fixpoint-cap sweep values (traced: no "
+                         "recompile), applied to every variant")
     ap.add_argument("--out", default="/tmp/bench_ab.jsonl")
     args = ap.parse_args()
 
@@ -66,41 +69,58 @@ def main():
                "layout": layout, "chunk": chunk, "max_depth": maxd,
                "fp_cap": args.fp_cap}
         try:
+            import jax.numpy as jnp
             t0 = time.monotonic()
             solver = BatchedSolver(tnf, EngineConfig(
                 num_dives=args.dives, subproblems_power=14,
                 max_depth=maxd, fp_max_iters=args.fp_cap,
                 fp_mode=mode_cfg, fp_layout=layout,
                 fp_fixed_iters=fixed_iters))
-            st = solver.init_state()
             step_n = solver.make_step_n(chunk)
-            st = step_n(st)
-            nodes0 = int(np.asarray(jax.device_get(st.nodes)).sum())
-            deds0 = float(np.asarray(jax.device_get(st.deds)).sum())
-            row["compile_s"] = round(time.monotonic() - t0, 1)
-            log(f"{spec}: compile+first chunk {row['compile_s']}s")
-            t0 = time.monotonic()
-            traj = []
-            steps = 0
-            while time.monotonic() - t0 < args.measure_s:
+            compile_s = None
+            caps = [args.fp_cap] + [int(c) for c in args.caps.split(",")
+                                    if c]
+            for cap in caps:
+                st = solver.init_state()
+                st = st._replace(fp_cap=jnp.full((args.dives,), cap,
+                                                 dtype=jnp.int32))
+                t0 = time.monotonic()
                 st = step_n(st)
-                steps += chunk
-                if steps % 256 == 0:
-                    traj.append((round(time.monotonic() - t0, 2),
-                                 int(jax.device_get(st.best_bound).min())))
-            got = jax.device_get((st.nodes, st.deds, st.best_bound,
-                                  st.fpit, st.nonexh))
-            dt = time.monotonic() - t0
-            row.update({
-                "measure_s": round(dt, 1),
-                "nodes_per_s": round(
-                    (int(np.asarray(got[0]).sum()) - nodes0) / dt, 1),
-                "deductions_per_s": round(
-                    (float(np.asarray(got[1]).sum()) - deds0) / dt, 1),
-                "best_bound": int(np.asarray(got[2]).min()),
-                "nonexh_lanes": int(np.asarray(got[4]).sum()),
-                "trajectory": traj[-8:],
-            })
+                nodes0 = int(np.asarray(jax.device_get(st.nodes)).sum())
+                deds0 = float(np.asarray(jax.device_get(st.deds)).sum())
+                if compile_s is None:
+                    compile_s = round(time.monotonic() - t0, 1)
+                    log(f"{spec}: compile+first chunk {compile_s}s")
+                t0 = time.monotonic()
+                traj = []
+                steps = 0
+                while time.monotonic() - t0 < args.measure_s:
+                    st = step_n(st)
+                    steps += chunk
+                    if steps % 256 == 0:
+                        traj.append((round(time.monotonic() - t0, 2),
+                                     int(jax.device_get(st.best_bound).min())))
+                got = jax.device_get((st.nodes, st.deds, st.best_bound,
+                                      st.fpit, st.nonexh))
+                dt = time.monotonic() - t0
+                out = dict(row)
+                out.update({
+                    "fp_cap": cap,
+                    "compile_s": compile_s,
+                    "measure_s": round(dt, 1),
+                    "steps_per_s": round(steps / dt, 1),
+                    "nodes_per_s": round(
+                        (int(np.asarray(got[0]).sum()) - nodes0) / dt, 1),
+                    "deductions_per_s": round(
+                        (float(np.asarray(got[1]).sum()) - deds0) / dt, 1),
+                    "best_bound": int(np.asarray(got[2]).min()),
+                    "nonexh_lanes": int(np.asarray(got[4]).sum()),
+                    "trajectory": traj[-8:],
+                })
+                print(json.dumps(out), flush=True)
+                with open(args.out, "a") as f:
+                    f.write(json.dumps(out) + "\n")
+            continue
         except Exception as e:
             row["error"] = f"{type(e).__name__}: {e}"
         print(json.dumps(row), flush=True)

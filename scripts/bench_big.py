@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""End-to-end TPU evidence for the three shipped benchmarks
+(VERDICT r2 item 2): wordpress7_500, accap_a3, trains15
+(/root/reference/benchmarks, run as the headline workloads by
+hpc/run-helios.sh:21).
+
+Per instance: cold/warm compile time, estimated vs device-reported HBM
+footprint, steady-state nodes/s + deductions/s, bound trajectory,
+best_bound at the end of the window.
+
+  nohup python scripts/bench_big.py > /tmp/bench_big.log 2>&1 &
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(m):
+    print(f"% {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--instances",
+                    default="example_wordpress7_500,accap_a3,trains15")
+    ap.add_argument("--measure-s", type=float, default=90.0)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--out", default="/tmp/bench_big.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from turbo_tpu.compile.model import compile_model
+    from turbo_tpu.frontend.fzn import parse_fzn
+    from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
+    from turbo_tpu.solver.plan import auto_num_dives
+
+    log(f"devices: {jax.devices()}")
+    for name in args.instances.split(","):
+        path = f"/root/reference/benchmarks/{name}.fzn"
+        row = {"instance": name.replace("example_", "")}
+        try:
+            t0 = time.monotonic()
+            tnf = compile_model(parse_fzn(path))
+            row["host_compile_s"] = round(time.monotonic() - t0, 1)
+            D = auto_num_dives(tnf)
+            t0 = time.monotonic()
+            solver = BatchedSolver(tnf, EngineConfig(num_dives=D))
+            row["D"] = D
+            row["max_depth"] = solver.cfg.max_depth
+            row["k"] = solver.k
+            p = solver.plan
+            elem_cells = int(p.E * (p.e_tab.shape[1] if p.e_tab is not None else 0))
+            lin_cells = int(3 * p.L_terms)
+            per_dive = 4 * (2 * p.V + 26 * p.P
+                            + 2 * (elem_cells + 8 * p.M + lin_cells))
+            # State footprint: stores (6 planes) + stacks (7 x MAXD).
+            state_bytes = 4 * D * (6 * p.V + 7 * solver.cfg.max_depth + 32)
+            row["est_sweep_mb"] = round(per_dive * D / 2**20, 1)
+            row["est_state_mb"] = round(state_bytes / 2**20, 1)
+            st = solver.init_state()
+            step_n = solver.make_step_n(args.chunk)
+            t1 = time.monotonic()
+            st = step_n(st)
+            nodes0 = int(np.asarray(jax.device_get(st.nodes)).sum())
+            deds0 = float(np.asarray(jax.device_get(st.deds)).sum())
+            row["device_compile_s"] = round(time.monotonic() - t1, 1)
+            try:
+                ms = jax.devices()[0].memory_stats()
+                row["hbm_in_use_mb"] = round(
+                    ms.get("bytes_in_use", 0) / 2**20, 1)
+            except Exception:
+                pass
+            log(f"{name}: D={D} depth={solver.cfg.max_depth} "
+                f"compile={row['device_compile_s']}s")
+            t0 = time.monotonic()
+            traj = []
+            steps = 0
+            while time.monotonic() - t0 < args.measure_s:
+                st = step_n(st)
+                steps += args.chunk
+                if steps % (args.chunk * 8) == 0:
+                    traj.append((round(time.monotonic() - t0, 2),
+                                 int(jax.device_get(st.best_bound).min())))
+            got = jax.device_get((st.nodes, st.deds, st.best_bound,
+                                  st.phase, st.sols))
+            dt = time.monotonic() - t0
+            row.update({
+                "measure_s": round(dt, 1),
+                "nodes_per_s": round(
+                    (int(np.asarray(got[0]).sum()) - nodes0) / dt, 1),
+                "deductions_per_s": round(
+                    (float(np.asarray(got[1]).sum()) - deds0) / dt, 1),
+                "best_bound": int(np.asarray(got[2]).min()),
+                "idle_lanes": int((np.asarray(got[3]) == 2).sum()),
+                "solutions": int(np.asarray(got[4]).sum()),
+                "trajectory": traj,
+            })
+        except Exception as e:
+            import traceback
+            row["error"] = f"{type(e).__name__}: {e}"
+            traceback.print_exc()
+        print(json.dumps(row), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
