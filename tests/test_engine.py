@@ -837,3 +837,20 @@ def test_tail_resplit_preserves_answers(bench_dir):
     assert r.exhaustive
     assert (r.eps_solved_subproblems + r.eps_skipped_subproblems
             == r.eps_num_subproblems == 32)
+
+
+def test_auto_subproblems_capped_by_dive_budget():
+    """The factor-based EPS split (config.hpp:76) is additionally
+    capped so per-lane lockstep dive work stays bounded (round-3 SIMD
+    economics, DESIGN.md)."""
+    from turbo_tpu.solver.engine import choose_subproblems_power
+    for D, kmax in ((64, 13), (256, 15), (1024, 17)):
+        k = choose_subproblems_power(None, EngineConfig(num_dives=D), 1,
+                                     allow_probe=False)
+        assert k <= kmax, (D, k)
+        # dive work per lane stays within ~2x of the budget
+        assert (1 << k) * k // D <= 3000, (D, k)
+    # pinned -sub is never overridden
+    k = choose_subproblems_power(None, EngineConfig(
+        num_dives=1024, subproblems_power=19), 1, allow_probe=False)
+    assert k == 19
