@@ -53,7 +53,8 @@ def main():
             row["host_compile_s"] = round(time.monotonic() - t0, 1)
             D = auto_num_dives(tnf)
             t0 = time.monotonic()
-            solver = BatchedSolver(tnf, EngineConfig(num_dives=D))
+            solver = BatchedSolver(tnf, EngineConfig(num_dives=D,
+                                                     fp_max_iters=16))
             row["D"] = D
             row["max_depth"] = solver.cfg.max_depth
             row["k"] = solver.k
