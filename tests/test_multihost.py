@@ -136,3 +136,36 @@ def test_two_process_solve_agrees():
         assert parts[2] == "optimal", outs
         assert parts[3] == "-2", outs
         assert parts[4] == "1", outs
+
+
+@pytest.mark.slow
+def test_cli_multihost_two_processes():
+    """CLI-level multi-host run (-hosts/-host_id/-coordinator): host 0
+    prints the solution + proof + GLOBAL stats; host 1 stays silent on
+    stdout (solns2out must see exactly one stream)."""
+    with socket.socket() as sk:
+        sk.bind(("localhost", 0))
+        port = sk.getsockname()[1]
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "turbo_tpu.cli",
+         "/root/reference/benchmarks/test_data/sudoku_opt3.fzn",
+         "-s", "-or", "4", "-sub", "6", "-platform", "cpu",
+         "-hosts", "2", "-host_id", str(i),
+         "-coordinator", f"localhost:{port}"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, (out, err)
+        outs.append(out)
+    assert "objective = -2;" in outs[0], outs[0]
+    assert "==========" in outs[0], outs[0]
+    # Global subproblem accounting: solved + skipped == 2^6.
+    import re
+    solved = int(re.search(r"eps_solved_subproblems=(\d+)", outs[0])[1])
+    skipped = int(re.search(r"eps_skipped_subproblems=(\d+)", outs[0])[1])
+    assert solved + skipped == 64, outs[0]
+    assert outs[1].strip() == "", outs[1]

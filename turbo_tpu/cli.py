@@ -25,6 +25,14 @@ def _hardware_name() -> str:
 
 
 def run(cfg: Configuration) -> int:
+    if cfg.hosts > 1 and cfg.host_id != 0:
+        # SPMD convention: every host parses/compiles/solves, only host
+        # 0 speaks on stdout (solns2out must see exactly one stream).
+        # FD-level dup2, not sys.stdout: native libs (gloo's rendezvous
+        # banner) write straight to fd 1.
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
     stats = MznStats(cfg.print_statistics)
     t0 = time.monotonic()
     # Config echo (turbo.cpp:27, config.hpp:237-266).
@@ -134,6 +142,58 @@ def run(cfg: Configuration) -> int:
                 best_obj_time=s.best_obj_time,
                 objective=r.objective)
             print_mzn_statistics(stats, adapter)
+        return 0
+
+    # Multi-host run: rendezvous over jax.distributed BEFORE any other
+    # backend use (initialize() must precede the first device lookup).
+    # No watchdog here — pod runs are scheduler-managed, and a probe
+    # subprocess would not see the distributed runtime anyway.
+    if cfg.hosts > 1:
+        if not cfg.coordinator:
+            raise ValueError("-hosts > 1 requires -coordinator HOST:PORT "
+                             "(or TURBO_TPU_COORDINATOR)")
+        import jax
+
+        if cfg.platform:
+            jax.config.update("jax_platforms", cfg.platform)
+        from .parallel.multihost import MultiHostSolver, init_distributed
+
+        init_distributed(cfg.coordinator, cfg.hosts, cfg.host_id)
+        if cfg.checkpoint_path or cfg.stop_after_n_nodes:
+            print("% WARNING: -checkpoint/-cutnodes are not supported "
+                  "on multi-host runs; ignored", file=sys.stderr)
+        enumerate_all = tnf.obj_var < 0 and cfg.stop_after_n_solutions != 1
+        if enumerate_all:
+            raise ValueError("-a is not supported by the multi-host "
+                             "architecture; run it on a single host")
+        from .solver.engine import EngineConfig as _EC
+        num_dives = cfg.or_nodes
+        if num_dives == 0:
+            from .solver.plan import auto_num_dives
+            num_dives = auto_num_dives(tnf)
+        econf = _EC(num_dives=num_dives,
+                    subproblems_power=cfg.subproblems_power,
+                    subproblems_factor=cfg.subproblems_factor,
+                    max_depth=cfg.max_depth,
+                    eps_var_order=cfg.eps_var_order,
+                    eps_value_order=cfg.eps_value_order,
+                    seed=cfg.seed,
+                    fp_mode=("wac1" if cfg.fixpoint == "wac1"
+                             else "fixpoint"),
+                    wac1_threshold=cfg.wac1_threshold,
+                    disable_simplify=cfg.disable_simplify)
+        solver = MultiHostSolver(tnf, econf)
+        r = solver.solve(timeout_s=timeout_s,
+                         stop_after_n_solutions=cfg.stop_after_n_solutions,
+                         verbose=cfg.verbose >= 2)
+        r.init_time = init_time
+        # Every host holds the same allgathered global result; host 0's
+        # stdout is the run's output (others are routed to devnull).
+        if r.best_lb is not None:
+            print_solution(tnf, r.best_lb)
+        print_final_separator(r.status, tnf.obj_var >= 0,
+                              exhaustive=r.exhaustive)
+        print_mzn_statistics(stats, r)
         return 0
 
     # Device archs: initialize the backend behind a watchdog FIRST — a

@@ -260,16 +260,49 @@ class MultiHostSolver:
         res = EngineResult.from_state(sh, st, stopped,
                                        time.monotonic() - t0)
         res.eps_redistributions = redistributions
-        # Global reduction: every host reports the global objective and
-        # global exhaustiveness (the host holding the best solution also
-        # holds its store).
+        # Global reduction: every host reports the global objective,
+        # global exhaustiveness, its countable statistics, and its best
+        # store — so every host returns the SAME result (objective,
+        # stats, and the winning solution store; the reference prints
+        # one global stat block, statistics.hpp:338-371, and host 0
+        # must not print a stale local store as the final solution).
         has_sol = res.status in ("sat", "optimal")
-        fin = self._allgather(np.array(
+        V = len(res.best_lb) if res.best_lb is not None else \
+            len(self.plan.store_to_tnf(np.asarray(self.plan.lb0),
+                                       np.asarray(self.plan.ub0))[0])
+        zeros = np.zeros(V, dtype=np.int64)
+        blb = (res.best_lb.astype(np.int64) if res.best_lb is not None
+               else zeros)
+        bub = (res.best_ub.astype(np.int64) if res.best_ub is not None
+               else zeros)
+        fin = self._allgather(np.concatenate([np.array(
             [res.objective if res.objective is not None else INF,
-             int(res.exhaustive), int(has_sol)], dtype=np.int64))
+             int(res.exhaustive), int(has_sol),
+             res.nodes, res.fails, res.solutions,
+             res.fixpoint_iterations, int(res.num_deductions),
+             res.depth_max, res.eps_solved_subproblems,
+             res.eps_skipped_subproblems, redistributions],
+            dtype=np.int64), blb, bub]))
         gobj = int(fin[:, 0].min())
         res.exhaustive = bool(fin[:, 1].all())
         any_sol = bool(fin[:, 2].any())
+        res.nodes = int(fin[:, 3].sum())
+        res.fails = int(fin[:, 4].sum())
+        res.solutions = int(fin[:, 5].sum())
+        res.fixpoint_iterations = int(fin[:, 6].sum())
+        res.num_deductions = float(fin[:, 7].sum())
+        res.depth_max = int(fin[:, 8].max())
+        res.eps_solved_subproblems = int(fin[:, 9].sum())
+        res.eps_skipped_subproblems = int(fin[:, 10].sum())
+        res.eps_redistributions = int(fin[:, 11].sum())
+        if any_sol:
+            # Winning store: best objective, lowest pid on ties (for
+            # satisfaction all objectives are INF, so pid 0's first).
+            win = int(np.lexsort((np.arange(fin.shape[0]),
+                                  fin[:, 0]))[0]) if self.opt else \
+                int(np.nonzero(fin[:, 2])[0][0])
+            res.best_lb = fin[win, 12:12 + V].astype(np.int32)
+            res.best_ub = fin[win, 12 + V:12 + 2 * V].astype(np.int32)
         if self.opt and gobj < INF:
             res.objective = gobj
             res.status = "optimal" if res.exhaustive else "sat"

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from typing import Optional
 
 
@@ -49,6 +50,12 @@ class Configuration:
                                          # default with a hang watchdog
     only_global_memory: bool = False     # -globalmem (no-op on TPU: there is
                                          # no shared-vs-global placement axis)
+    # Multi-host EPS (TPU extras; the reference scales past one GPU via
+    # SLURM job arrays, hpc/run-helios.sh — here one solver spans hosts
+    # over jax.distributed, parallel/multihost.py).
+    hosts: int = 1                       # -hosts (processes in the run)
+    host_id: int = 0                     # -host_id (this process's index)
+    coordinator: str = ""                # -coordinator host:port rendezvous
 
 
 def parse_args(argv=None) -> Configuration:
@@ -118,6 +125,22 @@ def parse_args(argv=None) -> Configuration:
                    help="force the jax platform (e.g. cpu); empty = use "
                         "the environment default, probed with a hang "
                         "watchdog (TURBO_TPU_PLATFORM env equivalent)")
+    p.add_argument("-hosts", type=int,
+                   default=int(os.environ.get("TURBO_TPU_HOSTS", "1")),
+                   metavar="N",
+                   help="number of cooperating host processes (multi-host "
+                        "EPS over jax.distributed; default 1 = single "
+                        "host; env TURBO_TPU_HOSTS)")
+    p.add_argument("-host_id", type=int,
+                   default=int(os.environ.get("TURBO_TPU_HOST_ID", "0")),
+                   metavar="I",
+                   help="this process's index in a -hosts N run "
+                        "(env TURBO_TPU_HOST_ID)")
+    p.add_argument("-coordinator",
+                   default=os.environ.get("TURBO_TPU_COORDINATOR", ""),
+                   metavar="HOST:PORT",
+                   help="jax.distributed rendezvous address, required "
+                        "when -hosts > 1 (env TURBO_TPU_COORDINATOR)")
     p.add_argument("-version", default="", metavar="TAG",
                    help="version identifier echoed in statistics for "
                         "replicability (config.cpp:36)")
@@ -148,7 +171,8 @@ def parse_args(argv=None) -> Configuration:
         fixpoint=a.fp, wac1_threshold=a.wac1_threshold,
         version_tag=a.version, hardware=a.hardware,
         platform=a.platform,
-        only_global_memory=a.globalmem)
+        only_global_memory=a.globalmem,
+        hosts=a.hosts, host_id=a.host_id, coordinator=a.coordinator)
 
 
 def _version_string() -> str:
