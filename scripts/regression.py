@@ -89,8 +89,23 @@ def main():
                     failures += 1
                     print(f"FAIL {name:34s} invalid solution: {bad[:2]}")
                     continue
+            # Node/EPS accounting makes the committed log double as
+            # throughput evidence (solve_time excludes compile/load).
+            extra = ""
+            nodes = getattr(r, "nodes", None)
+            if nodes is None:
+                nodes = getattr(getattr(r, "stats", None), "nodes", 0)
+            st_ = getattr(r, "solve_time", None)
+            if st_ is None:
+                st_ = getattr(getattr(r, "stats", None), "solve_time", 0)
+            if nodes and st_:
+                extra = f" nodes={nodes} ({nodes/st_:,.0f}/s)"
+            sub_s = getattr(r, "eps_solved_subproblems", None)
+            if sub_s is not None:
+                extra += (f" sub={sub_s}+{r.eps_skipped_subproblems}skip"
+                          f"/{getattr(r, 'eps_num_subproblems', 0)}")
             if r.status == "optimal" and r.objective == exp:
-                print(f"OK   {name:34s} obj={r.objective} t={dt:.1f}s")
+                print(f"OK   {name:34s} obj={r.objective} t={dt:.1f}s{extra}")
             elif r.status in ("sat", "unknown"):
                 if r.objective is not None and _bound_impossible(r, exp, tnf):
                     failures += 1
@@ -98,7 +113,8 @@ def main():
                           f"expected {exp}")
                 else:
                     timeouts += 1
-                    print(f"TIME {name:34s} best={r.objective} t={dt:.1f}s")
+                    print(f"TIME {name:34s} best={r.objective} "
+                          f"t={dt:.1f}s{extra}")
             else:
                 failures += 1
                 print(f"FAIL {name:34s} got={r.objective} st={r.status} "
