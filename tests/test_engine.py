@@ -854,3 +854,30 @@ def test_auto_subproblems_capped_by_dive_budget():
     k = choose_subproblems_power(None, EngineConfig(
         num_dives=1024, subproblems_power=19), 1, allow_probe=False)
     assert k == 19
+
+
+def test_hybrid_checkpoint_resume(tmp_path):
+    """Hybrid arch cross-run checkpoint/resume (round 3): a node-limited
+    run snapshots its host search state; the resumed run continues (not
+    restarts) and proves the same optimum."""
+    from turbo_tpu.solver.hybrid import HybridSolver
+
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/sudoku_opt4.fzn"))
+    cfg = EngineConfig(num_dives=4, subproblems_power=5, max_depth=64)
+    path = str(tmp_path / "hyb.pkl")
+    r1 = HybridSolver(tnf, cfg).solve(timeout_s=300, node_limit=40,
+                                      checkpoint_path=path)
+    assert r1.status in ("unknown", "sat") and r1.nodes >= 40
+    import os
+    assert os.path.exists(path)
+    r2 = HybridSolver(tnf, cfg).solve(timeout_s=300,
+                                      checkpoint_path=path)
+    assert r2.status == "optimal" and r2.objective == -16
+    # Resumed, not restarted: cumulative counters cover both runs.
+    assert r2.nodes > r1.nodes
+    # A mismatched configuration must refuse the snapshot (fresh run).
+    cfg2 = EngineConfig(num_dives=8, subproblems_power=5, max_depth=64)
+    r3 = HybridSolver(tnf, cfg2).solve(timeout_s=300, node_limit=8,
+                                       checkpoint_path=path)
+    assert r3.nodes <= 16

@@ -255,12 +255,7 @@ def run(cfg: Configuration) -> int:
             print_solution(tnf, best_lb_tnf)
     extra = {}
     if cfg.checkpoint_path:
-        if arch == "hybrid":
-            print("% WARNING: -checkpoint is not supported by the "
-                  "hybrid arch; running without checkpointing",
-                  file=sys.stderr)
-        else:
-            extra["checkpoint_path"] = cfg.checkpoint_path
+        extra["checkpoint_path"] = cfg.checkpoint_path
     r = solver.solve(timeout_s=timeout_s,
                      stop_after_n_solutions=cfg.stop_after_n_solutions,
                      node_limit=cfg.stop_after_n_nodes,

@@ -112,9 +112,17 @@ class HybridSolver:
 
     # -- solve ---------------------------------------------------------
 
+    def _checkpoint_sig(self):
+        """Identity guard: a snapshot must only resume the same
+        instance/configuration (same rule as checkpoint.py's device
+        snapshots)."""
+        return (self.plan.shape_signature, self.plan.data_digest,
+                self.k, self.cfg.num_dives, self.cfg.max_depth)
+
     def solve(self, timeout_s: float = 1e18,
               stop_after_n_solutions: int = 1, node_limit: int = 0,
               verbose: bool = False, on_improve=None,
+              checkpoint_path: str = "", checkpoint_every_s: float = 60.0,
               **_ignored) -> EngineResult:
         from .timers import PhaseTimers
         t0 = time.monotonic()
@@ -170,8 +178,69 @@ class HybridSolver:
             cube.active = False
             return False
 
-        for cube in cubes:
-            grab(cube)
+        # Cross-run checkpoint/resume: the hybrid arch's search state is
+        # entirely host-side (cube stacks + counters), so a snapshot is
+        # a plain pickle — the host analog of checkpoint.py's device
+        # state snapshots.
+        _CKPT_FIELDS = ("next_sub", "best_bound", "best_lb", "best_ub",
+                        "best_obj_time", "nodes", "fails", "sols",
+                        "fpit_total", "deds", "depth_max", "solved_sub",
+                        "skipped_sub", "exhaustive")
+
+        def save_ckpt():
+            # Closure reads are late-binding: each call snapshots the
+            # loop's CURRENT counters.
+            import os
+            import pickle
+            snap = {"sig": self._checkpoint_sig(),
+                    "cubes": [(c.active, c.subp, c.remaining, c.depth,
+                               c.strat, c.lb, c.ub, c.stack)
+                              for c in cubes],
+                    "next_sub": next_sub, "best_bound": best_bound,
+                    "best_lb": best_lb, "best_ub": best_ub,
+                    "best_obj_time": best_obj_time, "nodes": nodes,
+                    "fails": fails, "sols": sols,
+                    "fpit_total": fpit_total, "deds": deds,
+                    "depth_max": depth_max, "solved_sub": solved_sub,
+                    "skipped_sub": skipped_sub, "exhaustive": exhaustive}
+            tmp = checkpoint_path + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                pickle.dump(snap, fh)
+            os.replace(tmp, checkpoint_path)
+
+        resumed = False
+        if checkpoint_path:
+            import os
+            import pickle
+            import sys as _sys
+            if os.path.exists(checkpoint_path):
+                try:
+                    with open(checkpoint_path, "rb") as fh:
+                        snap = pickle.load(fh)
+                    if snap.get("sig") != self._checkpoint_sig():
+                        raise ValueError("checkpoint from a different "
+                                         "instance/configuration")
+                    for c, (a, sp, rem, dep, strt, l, u, stk) in zip(
+                            cubes, snap["cubes"]):
+                        c.active, c.subp, c.remaining = a, sp, rem
+                        c.depth, c.strat = dep, strt
+                        c.lb, c.ub, c.stack = l, u, stk
+                    (next_sub, best_bound, best_lb, best_ub, best_obj_time,
+                     nodes, fails, sols, fpit_total, deds, depth_max,
+                     solved_sub, skipped_sub, exhaustive) = (
+                        snap[f] for f in _CKPT_FIELDS)
+                    resumed = True
+                    print(f"% resumed hybrid checkpoint: {nodes} nodes, "
+                          f"next_sub={next_sub}/{self.num_sub_total}",
+                          file=_sys.stderr)
+                except Exception as e:
+                    print(f"% WARNING: could not resume checkpoint "
+                          f"{checkpoint_path} ({e}); starting fresh",
+                          file=_sys.stderr)
+        if not resumed:
+            for cube in cubes:
+                grab(cube)
+        last_ckpt = time.monotonic()
 
         while True:
             act = [c for c in cubes if c.active]
@@ -180,8 +249,17 @@ class HybridSolver:
             if time.monotonic() - t0 > timeout_s or \
                     (node_limit and nodes >= node_limit):
                 stopped = True
+                # Snapshot BEFORE clearing exhaustive: the interruption
+                # makes THIS run non-exhaustive, but the saved search
+                # state is complete — a resumed run can still prove.
+                if checkpoint_path:
+                    save_ckpt()
                 exhaustive = False
                 break
+            if checkpoint_path and \
+                    time.monotonic() - last_ckpt > checkpoint_every_s:
+                save_ckpt()
+                last_ckpt = time.monotonic()
             # BAB: tighten the objective from the shared incumbent
             # (update_local_best_bound, hybrid:481-497).
             if self.opt and best_bound < INF:
@@ -307,6 +385,8 @@ class HybridSolver:
                 c.depth += 1
                 c.strat = si
             if stopped:
+                if checkpoint_path:
+                    save_ckpt()
                 break
 
         solve_time = time.monotonic() - t0
