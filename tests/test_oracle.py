@@ -49,3 +49,51 @@ def test_unsat(bench_dir):
     tnf = compile_model(parse_fzn(str(bench_dir / "unsolved_bugs_data" / "false.fzn")))
     r = solve(tnf, timeout_s=10)
     assert r.status == "unsat"
+
+
+def test_array_int_minimum_maximum():
+    """array_int_minimum/maximum builtins (MiniZinc's min()/max() over
+    var arrays) as balanced OP_MIN/OP_MAX fold trees."""
+    from turbo_tpu.frontend.fzn import parse_fzn_text
+    from turbo_tpu.compile.model import compile_model
+    from turbo_tpu.solver.oracle import solve
+    text = """
+    var 3..9: a; var 1..7: b; var 5..6: c;
+    var 0..20: lo :: output_var; var 0..20: hi :: output_var;
+    constraint array_int_minimum(lo, [a, b, c]);
+    constraint array_int_maximum(hi, [a, b, c]);
+    constraint int_le(hi, 5);
+    solve minimize lo;
+    """
+    r = solve(compile_model(parse_fzn_text(text)), timeout_s=30)
+    # hi <= 5 forces a<=5, b<=5, c=5; min lo = min(3,1,5) = 1.
+    assert r.status == "optimal" and r.objective == 1
+
+
+def test_int_pow_fixed_exponent():
+    from turbo_tpu.frontend.fzn import parse_fzn_text
+    from turbo_tpu.compile.model import compile_model
+    from turbo_tpu.solver.oracle import solve
+    text = """
+    var 1..5: x :: output_var; var 0..200: z;
+    constraint int_pow(x, 3, z);
+    constraint int_le(30, z);
+    solve minimize x;
+    """
+    r = solve(compile_model(parse_fzn_text(text)), timeout_s=30)
+    # x^3 >= 30 -> x >= 4.
+    assert r.status == "optimal" and r.objective == 4
+
+
+def test_int_pow_var_exponent_fails_loudly():
+    import pytest as _pytest
+    from turbo_tpu.frontend.fzn import parse_fzn_text
+    from turbo_tpu.compile.model import compile_model
+    from turbo_tpu.compile.tnf import CompileError
+    text = """
+    var 1..5: x; var 1..3: n; var 0..200: z;
+    constraint int_pow(x, n, z);
+    solve satisfy;
+    """
+    with _pytest.raises(CompileError):
+        compile_model(parse_fzn_text(text))

@@ -702,3 +702,58 @@ def _c_int_lin_lt(ctx, args):
 
 
 _DISPATCH["int_lin_lt"] = _c_int_lin_lt
+
+
+def _fold_tree(ctx, op, xs, hint):
+    """Balanced fold of a binary TNF op over a list (depth log n, so
+    the AC-1 fixpoint converges in O(log n) sweeps instead of O(n))."""
+    if not xs:
+        raise CompileError("empty array in array_int_minimum/maximum")
+    if len(xs) == 1:
+        ctx.b.union(xs[0], hint)
+        return
+    while len(xs) > 2:
+        nxt = [ctx.b.fn(op, xs[i], xs[i + 1])
+               for i in range(0, len(xs) - 1, 2)]
+        if len(xs) % 2:
+            nxt.append(xs[-1])
+        xs = nxt
+    ctx.b.fn(op, xs[0], xs[1], hint=hint)
+
+
+def _c_array_int_minimum(ctx, args):
+    # m = min(xs) (FlatZinc builtin array_int_minimum(m, xs); MiniZinc
+    # emits it for min() over var arrays).
+    _fold_tree(ctx, OP_MIN, ctx.term_list(args[1]), ctx.term(args[0]))
+
+
+def _c_array_int_maximum(ctx, args):
+    _fold_tree(ctx, OP_MAX, ctx.term_list(args[1]), ctx.term(args[0]))
+
+
+def _c_int_pow(ctx, args):
+    # z = x^n for a FIXED exponent n >= 0, as a square-and-multiply
+    # OP_MUL chain (log n deep). A variable exponent has no TNF form;
+    # fail loudly rather than drop the constraint.
+    x, n, z = (ctx.term(a) for a in args)
+    nv = ctx.b.find(n)
+    if ctx.b.lb[nv] != ctx.b.ub[nv] or ctx.b.lb[nv] < 0:
+        raise CompileError("int_pow requires a fixed exponent >= 0")
+    e = int(ctx.b.lb[nv])
+    if e == 0:
+        ctx.b.union(z, ctx.b.const(1))
+        return
+    acc = None        # product of selected square terms
+    sq = x            # x^(2^i)
+    while e:
+        if e & 1:
+            acc = sq if acc is None else ctx.b.fn(OP_MUL, acc, sq)
+        e >>= 1
+        if e:
+            sq = ctx.b.fn(OP_MUL, sq, sq)
+    ctx.b.union(acc, z)
+
+
+_DISPATCH["array_int_minimum"] = _c_array_int_minimum
+_DISPATCH["array_int_maximum"] = _c_array_int_maximum
+_DISPATCH["int_pow"] = _c_int_pow
