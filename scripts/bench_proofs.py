@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--dives", type=int, default=1024)
     ap.add_argument("--subs", default="13,15,17")
     ap.add_argument("--modes", default="fixpoint")
+    ap.add_argument("--caps", default="16",
+                    help="fp_max_iters sweep; the cap is TRACED state "
+                         "(SearchState.fp_cap), so every value reuses "
+                         "the same cached executable")
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--timeout", type=float, default=90.0)
     ap.add_argument("--out", default="/tmp/proof_matrix.jsonl")
@@ -50,12 +54,13 @@ def main():
                 fixed_iters = int(mode[len("fixed"):])
                 mode_cfg = "fixed"
             for sub in [int(x) for x in args.subs.split(",")]:
+              for cap in [int(x) for x in args.caps.split(",")]:
                 row = {"instance": name, "D": args.dives, "sub": sub,
-                       "mode": mode, "chunk": args.chunk}
+                       "mode": mode, "cap": cap, "chunk": args.chunk}
                 try:
                     s = BatchedSolver(tnf, EngineConfig(
                         num_dives=args.dives, subproblems_power=sub,
-                        fp_max_iters=16, fp_mode=mode_cfg,
+                        fp_max_iters=cap, fp_mode=mode_cfg,
                         fp_fixed_iters=fixed_iters))
                     t0 = time.monotonic()
                     r = s.solve(timeout_s=args.timeout, chunk=args.chunk)
