@@ -117,7 +117,6 @@ def main():
     # progress, VERDICT r2); the (time, best_bound) curve proves the
     # measured throughput is doing real optimization work.
     trajectory = []
-    deds_mid = None
     while time.monotonic() - t0 < measure_s:
         st = step_n(st)
         steps += CHUNK

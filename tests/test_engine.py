@@ -881,3 +881,82 @@ def test_hybrid_checkpoint_resume(tmp_path):
     r3 = HybridSolver(tnf, cfg2).solve(timeout_s=300, node_limit=8,
                                        checkpoint_path=path)
     assert r3.nodes <= 16
+
+
+def test_auto_max_depth_first_cover_strategy():
+    """Depth bound charges each var the val order of the FIRST strategy
+    covering it: an all-split user search keeps the log2 bound even
+    though compile_model appends a first_fail/indomain_min fallback
+    (which only ever branches vars no earlier strategy covers)."""
+    from turbo_tpu.solver.engine import auto_max_depth
+
+    txt_split = """
+var 0..1000000: x;
+var 0..1000000: y;
+var 0..10: obj;
+constraint int_le(x, obj);
+solve :: int_search([x, y], first_fail, indomain_split, complete)
+    minimize obj;
+"""
+    plan = build_plan(compile_model(parse_fzn_text(txt_split)))
+    # x,y: ceil(log2(1e6+1))=20 bits each; obj (fallback, indomain_min):
+    # w-1=10. Far below the 10000 saturation the old bound hit.
+    assert auto_max_depth(plan) <= 256
+
+    txt_enum = txt_split.replace("indomain_split", "indomain_min")
+    plan2 = build_plan(compile_model(parse_fzn_text(txt_enum)))
+    # indomain_min right spines are w-1 deep: must saturate to 10000.
+    assert auto_max_depth(plan2) == 10000
+
+
+def test_init_state_cache_key_includes_fp_cap():
+    """Two solvers differing only in fp_max_iters must not share a
+    cached init executable (fp_cap is baked into the program)."""
+    from turbo_tpu.solver.exec_cache import cache_key
+
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/bug1.fzn"))
+    keys = []
+    for cap in (8, 16):
+        s = BatchedSolver(tnf, EngineConfig(num_dives=4,
+                                            subproblems_power=3,
+                                            max_depth=64,
+                                            fp_max_iters=cap))
+        pk = ("init_state", 0, s.num_shards, s.plan.shape_signature,
+              s.plan.data_digest, s.cfg.num_dives, s.cfg.max_depth,
+              s.cfg.fp_max_iters, s.k, bool(getattr(s, "has_eps", False)))
+        keys.append(cache_key(pk))
+        st = s.init_state()
+        assert int(np.asarray(st.fp_cap)[0]) == cap
+    assert keys[0] != keys[1]
+
+
+def test_checkpoint_version_and_fp_cap_override(tmp_path, capsys):
+    """Old-format checkpoints are rejected LOUDLY; a restored state
+    takes the resuming run's fp cap, not the snapshot's."""
+    import pickle
+
+    from turbo_tpu.solver import checkpoint as ckpt
+
+    tnf = compile_model(parse_fzn(
+        "/root/reference/benchmarks/test_data/bug1.fzn"))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=3,
+                                        max_depth=64, fp_max_iters=16))
+    st = s.init_state()
+    path = str(tmp_path / "ck.pkl")
+    ckpt.save_state(s, st, path)
+
+    s2 = BatchedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=3,
+                                         max_depth=64, fp_max_iters=9))
+    st2 = ckpt.load_state(s2, path)
+    assert st2 is not None
+    assert int(np.asarray(st2.fp_cap)[0]) == 9
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    payload["format"] = 1
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    assert ckpt.load_state(s, path) is None
+    err = capsys.readouterr().err
+    assert "checkpoint" in err and "ignored" in err

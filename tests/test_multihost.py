@@ -99,13 +99,14 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 jax.config.update("jax_platforms", "cpu")
 pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+inst = sys.argv[4] if len(sys.argv) > 4 else "sudoku_opt3"
 from turbo_tpu.parallel.multihost import MultiHostSolver, init_distributed
 init_distributed(f"localhost:{port}", n, pid)
 from turbo_tpu.frontend.fzn import parse_fzn
 from turbo_tpu.compile.model import compile_model
 from turbo_tpu.solver.engine import EngineConfig
 tnf = compile_model(parse_fzn(
-    "/root/reference/benchmarks/test_data/sudoku_opt3.fzn"))
+    f"/root/reference/benchmarks/test_data/{inst}.fzn"))
 s = MultiHostSolver(tnf, EngineConfig(num_dives=4, subproblems_power=6,
                                       max_depth=64))
 r = s.solve(timeout_s=300, chunk=8)
@@ -115,14 +116,21 @@ print(f"RESULT {pid} {r.status} {r.objective} {int(r.exhaustive)}",
 
 
 @pytest.mark.slow
-def test_two_process_solve_agrees():
+@pytest.mark.parametrize("inst,expected", [
+    ("sudoku_opt3", -2),
+    # Maximize: the final all-host reduction must pick the LARGEST
+    # original-space objective (a min() here once shipped the worst
+    # incumbent as "optimal").
+    ("sudoku_opt3b", 2),
+])
+def test_two_process_solve_agrees(inst, expected):
     """Two real processes over jax.distributed (CPU, localhost): both
     must report the same global optimum, exhaustively."""
     with socket.socket() as sk:
         sk.bind(("localhost", 0))
         port = sk.getsockname()[1]
     procs = [subprocess.Popen(
-        [sys.executable, "-c", WORKER, str(i), "2", str(port)],
+        [sys.executable, "-c", WORKER, str(i), "2", str(port), inst],
         cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for i in range(2)]
     outs = []
@@ -134,7 +142,7 @@ def test_two_process_solve_agrees():
         outs.append(line[0].split())
     for pid, parts in enumerate(outs):
         assert parts[2] == "optimal", outs
-        assert parts[3] == "-2", outs
+        assert parts[3] == str(expected), outs
         assert parts[4] == "1", outs
 
 

@@ -162,6 +162,10 @@ def run(cfg: Configuration) -> int:
         if cfg.checkpoint_path or cfg.stop_after_n_nodes:
             print("% WARNING: -checkpoint/-cutnodes are not supported "
                   "on multi-host runs; ignored", file=sys.stderr)
+        if cfg.print_intermediate:
+            print("% WARNING: -i (intermediate solutions) is not "
+                  "supported on multi-host runs; only the final "
+                  "solution is printed", file=sys.stderr)
         enumerate_all = tnf.obj_var < 0 and cfg.stop_after_n_solutions != 1
         if enumerate_all:
             raise ValueError("-a is not supported by the multi-host "

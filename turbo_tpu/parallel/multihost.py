@@ -159,6 +159,10 @@ class MultiHostSolver:
                                      total_shards=total_shards)
         self.plan = self.sharded.plan
         self.opt = self.sharded.opt
+        # Final-reduction direction: res.objective is reported in
+        # ORIGINAL objective space (result.py flips the internal
+        # minimize rewrite), so maximize problems reduce with max().
+        self.is_max = bool(self.sharded.tnf.is_max)
         self.exchange_every = max(1, exchange_every_chunks)
         self.S = S
 
@@ -275,15 +279,18 @@ class MultiHostSolver:
                else zeros)
         bub = (res.best_ub.astype(np.int64) if res.best_ub is not None
                else zeros)
+        # Hosts without an incumbent contribute a losing sentinel in
+        # the reduction direction (min for minimize, max for maximize).
+        sent = -INF if self.is_max else INF
         fin = self._allgather(np.concatenate([np.array(
-            [res.objective if res.objective is not None else INF,
+            [res.objective if res.objective is not None else sent,
              int(res.exhaustive), int(has_sol),
              res.nodes, res.fails, res.solutions,
              res.fixpoint_iterations, int(res.num_deductions),
              res.depth_max, res.eps_solved_subproblems,
              res.eps_skipped_subproblems, redistributions],
             dtype=np.int64), blb, bub]))
-        gobj = int(fin[:, 0].min())
+        gobj = int(fin[:, 0].max() if self.is_max else fin[:, 0].min())
         res.exhaustive = bool(fin[:, 1].all())
         any_sol = bool(fin[:, 2].any())
         res.nodes = int(fin[:, 3].sum())
@@ -298,12 +305,13 @@ class MultiHostSolver:
         if any_sol:
             # Winning store: best objective, lowest pid on ties (for
             # satisfaction all objectives are INF, so pid 0's first).
+            key = -fin[:, 0] if self.is_max else fin[:, 0]
             win = int(np.lexsort((np.arange(fin.shape[0]),
-                                  fin[:, 0]))[0]) if self.opt else \
+                                  key))[0]) if self.opt else \
                 int(np.nonzero(fin[:, 2])[0][0])
             res.best_lb = fin[win, 12:12 + V].astype(np.int32)
             res.best_ub = fin[win, 12 + V:12 + 2 * V].astype(np.int32)
-        if self.opt and gobj < INF:
+        if self.opt and gobj != sent:
             res.objective = gobj
             res.status = "optimal" if res.exhaustive else "sat"
         elif not self.opt:

@@ -15,7 +15,9 @@ import numpy as np
 
 from .engine import BatchedSolver, SearchState
 
-FORMAT_VERSION = 2  # v2: SearchState gained ext_bound (multi-host)
+# v2: SearchState gained ext_bound (multi-host)
+# v3: SearchState gained fp_cap (traced fixpoint cap)
+FORMAT_VERSION = 3
 
 
 def save_state(solver: BatchedSolver, st: SearchState, path: str,
@@ -39,22 +41,42 @@ def load_state(solver: BatchedSolver, path: str, num_shards: int = 1,
 
     `device_put` optionally places each leaf (used by the sharded
     solver to restore with the mesh sharding)."""
+    import os
+    import sys
+
+    def _reject(why):
+        # A rejected checkpoint silently restarting a long proof from
+        # scratch (and then overwriting the file) would be hours lost
+        # with no trace — always say why.
+        print(f"% warning: checkpoint {path} ignored ({why}); "
+              f"starting fresh", file=sys.stderr, flush=True)
+        return None
+
+    if not os.path.exists(path):
+        return None
     try:
         with open(path, "rb") as f:
             payload = pickle.load(f)
         if payload.get("format") != FORMAT_VERSION:
-            return None
+            return _reject(f"format {payload.get('format')} != "
+                           f"{FORMAT_VERSION}")
         if payload["shape_signature"] != solver.plan.shape_signature:
-            return None
+            return _reject("different instance/plan shapes")
         if payload["num_dives"] != solver.cfg.num_dives or \
                 payload["max_depth"] != solver.cfg.max_depth:
-            return None
+            return _reject("different num_dives/max_depth config")
         if payload.get("num_shards", 1) != num_shards:
-            return None
+            return _reject("different shard count")
         import jax.numpy as jnp
 
         put = device_put or jnp.asarray
+        fields = dict(payload["state"])
+        # fp_cap is a tuning knob, not search state: the RESUMING run's
+        # configuration wins (a snapshot from a cap-16 bench must not
+        # pin a later cap-10000 CLI run to 16).
+        fields["fp_cap"] = np.full_like(np.asarray(fields["fp_cap"]),
+                                        solver.cfg.fp_max_iters)
         return SearchState(**{k: put(np.asarray(v))
-                              for k, v in payload["state"].items()})
-    except Exception:
-        return None
+                              for k, v in fields.items()})
+    except Exception as e:
+        return _reject(f"{type(e).__name__}: {e}")

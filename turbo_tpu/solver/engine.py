@@ -184,15 +184,33 @@ def auto_max_depth(plan) -> int:
     lb0 = plan.lb0[:plan.n_active].astype(np.int64)
     ub0 = plan.ub0[:plan.n_active].astype(np.int64)
     w = ub0 - lb0 + 1
-    live = w > 1
-    halving_only = all(
-        s.val_order in ("indomain_split", "indomain_reverse_split")
-        for s in plan.strategies)
-    if halving_only:
-        bits = int(np.ceil(np.log2(np.clip(w[live], 2, None))).sum())
-    else:
-        bits = int(np.minimum(w[live] - 1, 10000).sum())
-    return int(min(10000, max(128, quantize(bits + 8))))
+    # Along any search path a variable is always branched by the FIRST
+    # strategy that contains it (once fixed it stays fixed, so later
+    # strategies — including the auto-appended first_fail/indomain_min
+    # fallback — never touch it). Charging every var the fallback's
+    # w-1 worst case would saturate the 10000 cap for models whose own
+    # annotations are all halving splits.
+    cost = np.zeros(plan.n_active, dtype=np.int64)
+    seen = np.zeros(plan.n_active, dtype=bool)
+    for s in plan.strategies:
+        if getattr(s, "is_eps", False):
+            continue  # k <= 30 dive decisions, charged in the margin
+        ids = np.asarray(s.ids, dtype=np.int64)
+        ids = ids[ids < plan.n_active]
+        ids = ids[~seen[ids]]
+        if len(ids) == 0:
+            continue
+        ws = w[ids]
+        if s.val_order in ("indomain_split", "indomain_reverse_split"):
+            c = np.ceil(np.log2(np.clip(ws, 2, None))).astype(np.int64)
+        else:
+            c = np.minimum(ws - 1, 10000)
+        cost[ids] = np.where(ws > 1, c, 0)
+        seen[ids] = True
+    bits = int(cost.sum())
+    # +38 margin: up to 30 EPS bit-path decisions per subproblem plus
+    # the historical +8 slack.
+    return int(min(10000, max(128, quantize(bits + 38))))
 
 
 def choose_subproblems_power(tnf, config, num_shards: int,
@@ -257,6 +275,10 @@ def apply_strategy_config(plan, cfg) -> bool:
                            if cfg.eps_value_order != "default"
                            else "indomain_min",
                            base.ids.copy())
+        # The dive strategy only ever takes k (<=30) bit-path decisions
+        # per subproblem; auto_max_depth must not charge it per-var
+        # worst cases (it covers the whole store).
+        eps.is_eps = True
         plan.strategies.insert(0, eps)
         # Re-pad the strategy list to a power of two.
         while len(plan.strategies) & (len(plan.strategies) - 1):
@@ -360,9 +382,13 @@ class BatchedSolver:
             self._init_cache = {}
         if shard_idx not in self._init_cache:
             from .exec_cache import cached_compile
+            # fp_max_iters is baked into the program as the fp_cap
+            # plane's fill constant — omit it from the key and two runs
+            # with different caps would silently share one executable.
             program_key = ("init_state", shard_idx, self.num_shards,
                            self.plan.shape_signature, self.plan.data_digest,
                            self.cfg.num_dives, self.cfg.max_depth,
+                           self.cfg.fp_max_iters,
                            self.k, bool(getattr(self, "has_eps", False)))
             self._init_cache[shard_idx] = cached_compile(
                 jax.jit(functools.partial(self._init_state_impl, shard_idx)),
@@ -911,6 +937,12 @@ class BatchedSolver:
                         _profiled_chunk, hlo)
                     if frac is not None:
                         timers.measured_fix_frac = frac
+                    # The profiled chunk advanced st; refresh the
+                    # host-loop snapshot or the resplit below could
+                    # refine subproblems that just completed (double-
+                    # counting them in the coarse accounting).
+                    phase, sols, nsub, slim = jax.device_get(
+                        (st.phase, st.sols, st.next_sub, st.sub_limit))
             bbm = int(bbs.min())
             if on_improve is not None and bbm < last_best:
                 last_best = bbm
