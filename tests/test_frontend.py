@@ -124,3 +124,27 @@ def test_pat1_proves_with_annotated_search():
     r = solve(tnf, timeout_s=60)
     assert r.status == "optimal" and r.objective == 19
     assert r.stats.nodes < 1000
+
+
+def test_unsolved_bugs_fixtures_handled():
+    """The reference's known-bad instances (benchmarks/unsolved_bugs_data)
+    must not crash the frontend/compiler: false.fzn is trivially unsat,
+    bigdom.fzn (huge domains) parses and compiles under the clamped
+    +-2^30 universe, valve6.fzn (raw set VARIABLES, which the reference
+    also cannot represent — its mzn-lib routes sets through nosets.mzn)
+    fails with an explicit diagnostic."""
+    import pytest
+
+    from turbo_tpu.compile.model import compile_model
+    from turbo_tpu.frontend.fzn import FznParseError, parse_fzn
+    from turbo_tpu.solver.oracle import solve
+
+    base = "/root/reference/benchmarks/unsolved_bugs_data"
+    r = solve(compile_model(parse_fzn(f"{base}/false.fzn")), timeout_s=10)
+    assert r.status == "unsat"
+
+    tnf = compile_model(parse_fzn(f"{base}/bigdom.fzn"))
+    assert tnf.num_vars > 0
+
+    with pytest.raises(FznParseError):
+        parse_fzn(f"{base}/valve6.fzn")
