@@ -960,3 +960,40 @@ def test_checkpoint_version_and_fp_cap_override(tmp_path, capsys):
     assert ckpt.load_state(s, path) is None
     err = capsys.readouterr().err
     assert "checkpoint" in err and "ignored" in err
+
+
+def test_singleton_tail_conflict_detected():
+    """A deduction that contradicts a ROOT-FIXED var (compacted into the
+    singleton tail, outside the bucketed combine) must fail the node.
+    Round-3 fuzzing found the dropped conflict: an all-singleton
+    non-entailed leaf could neither branch, fail, nor be accepted —
+    a livelock (hundreds of thousands of lockstep steps on a 2-var
+    model). int_div(x4, 2, x1) with x1 root-fixed at -2: x4=-3 gives
+    x4 div 2 = -1 != -2 and must die by propagation."""
+    txt = """
+var -3..-2: x1;
+var -4..1: x4;
+constraint int_div(x4, 2, x1);
+solve maximize x4;
+"""
+    tnf = compile_model(parse_fzn_text(txt))
+    plan = build_plan(tnf)
+    assert plan.conf_idx is not None  # x1 and const 2 are tail targets
+    k = PropagatorKernels(plan)
+    lb = plan.lb0[None, :].astype(np.int32).copy()
+    ub = plan.ub0[None, :].astype(np.int32).copy()
+    lb[0, 0] = ub[0, 0] = -3  # x4 := -3 (active col 0)
+    l2, u2 = k.iteration(jnp.asarray(lb), jnp.asarray(ub))
+    assert bool(np.asarray(k.is_bot(l2, u2))[0])
+    # Transposed layout agrees.
+    l3, u3 = k.iteration_t(jnp.asarray(lb.T), jnp.asarray(ub.T))
+    assert bool(np.asarray(jnp.any(l3 > u3)))
+    # End-to-end: the proof closes in a few dozen nodes (was: livelock).
+    for mode in ("fixpoint", "wac1"):
+        s = BatchedSolver(tnf, EngineConfig(num_dives=2,
+                                            subproblems_power=2,
+                                            max_depth=64, fp_mode=mode,
+                                            wac1_threshold=0))
+        r = s.solve(timeout_s=60, chunk=8)
+        assert r.status == "optimal" and r.objective == -4, mode
+        assert r.nodes < 500, (mode, r.nodes)

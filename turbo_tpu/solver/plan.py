@@ -107,6 +107,17 @@ class Plan:
     # Native linear constraints, bucketed by term count: list of
     # (b (C,), op (C,), rhs (C,), coef (C,K), var (C,K)).
     lin_buckets: List[tuple] = dataclasses.field(default_factory=list)
+    # Conflict fold for singleton-tail deduction targets: candidate
+    # slots whose target var sits in the singleton tail (root-fixed,
+    # outside the bucketed combine). A deduction (lo, hi) into a var
+    # fixed at c is inconsistent iff lo > c or hi < c — equivalently
+    # meet([0,0], [lo-c, hi-c]) is empty, so the sweep folds
+    # max_i(lo_i - c_i) / min_i(hi_i - c_i) into the dummy column
+    # (fixed [0,0]) and is_bot sees the conflict. Without this, a node
+    # contradicting a root-fixed var never fails (livelock on
+    # all-singleton non-entailed leaves, found by fuzzing round 3).
+    conf_idx: Optional[np.ndarray] = None  # (T,) candidate slots
+    conf_off: Optional[np.ndarray] = None  # (T,) fixed values c
 
     def store_to_tnf(self, row_lb: np.ndarray,
                      row_ub: Optional[np.ndarray] = None):
@@ -176,6 +187,9 @@ class Plan:
             for bucket in self.lin_buckets:
                 for a in bucket:
                     upd(a)
+            if self.conf_idx is not None:
+                upd(self.conf_idx)
+                upd(self.conf_off)
             self._data_digest = h.hexdigest()[:24]
         return self._data_digest
 
@@ -190,6 +204,7 @@ class Plan:
             (self.E, 0 if self.e_tab is None else self.e_tab.shape[1]),
             (self.M, 0 if self.m_cnt is None else self.m_cnt.shape[1]),
             tuple(b[3].shape for b in self.lin_buckets),
+            0 if self.conf_idx is None else len(self.conf_idx),
         )
 
 
@@ -452,34 +467,44 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64,
     neutral = base_linb + L_total
 
     # Incidence lists per active permuted var (padding rows stay empty).
+    # Slots whose target is a singleton-tail var go to the conflict
+    # fold instead (see Plan.conf_idx): the deduction can only confirm
+    # the fixed value or prove bot, and dropping it would lose the bot.
     inc: List[List[int]] = [[] for _ in range(n_active)]
+    conf_pairs: List[Tuple[int, int]] = []  # (slot, fixed value)
+
+    def _route(v, s):
+        if v < n_active:
+            inc[v].append(int(s))
+        elif v < V - 3:  # singleton tail (spill/dummies are synthetic)
+            conf_pairs.append((int(s), int(lb_p[v])))
+
     for vids, slots in slot_of:
         for v, s in zip(vids.tolist(), slots.tolist()):
-            if v < n_active:
-                inc[v].append(s)
+            _route(v, s)
     for i, e in enumerate(keep_elems):
-        for v, s in ((perm[e.idx], 3 * P + i),
-                     (perm[e.res], 3 * P + E + i)):
-            if v < n_active:
-                inc[v].append(int(s))
+        _route(perm[e.idx], 3 * P + i)
+        _route(perm[e.res], 3 * P + E + i)
     for i, m in enumerate(keep_members):
-        for v, s in ((perm[m.x], 3 * P + 2 * E + i),
-                     (perm[m.b], 3 * P + 2 * E + M + i)):
-            if v < n_active:
-                inc[v].append(int(s))
+        _route(perm[m.x], 3 * P + 2 * E + i)
+        _route(perm[m.b], 3 * P + 2 * E + M + i)
     off_t = 0
     off_c = 0
     for K, Cb, ls in lin_bucket_list:
         for j, l in enumerate(ls):
             for t, x in enumerate(l.vars):
-                v = perm[x]
-                if v < n_active:
-                    inc[v].append(int(base_lin + off_t + j * K + t))
-            vb = perm[l.b]
-            if vb < n_active:
-                inc[vb].append(int(base_linb + off_c + j))
+                _route(perm[x], base_lin + off_t + j * K + t)
+            _route(perm[l.b], base_linb + off_c + j)
         off_t += Cb * K
         off_c += Cb
+    conf_idx = conf_off = None
+    if conf_pairs:
+        T = quantize(len(conf_pairs), min_gran=8)
+        conf_idx = np.full(T, neutral, dtype=np.int64)
+        conf_off = np.zeros(T, dtype=np.int32)  # neutral cand: no conflict
+        conf_idx[:len(conf_pairs)] = [s for s, _ in conf_pairs]
+        conf_off[:len(conf_pairs)] = [c for _, c in conf_pairs]
+        conf_idx = conf_idx.astype(np.int32)
 
     buckets: List[Bucket] = []
     for K, real, start, padded in bucket_ranges:
@@ -605,4 +630,5 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64,
                 m_x=m_x, m_b=m_b, m_base=m_base, m_top=m_top, m_cnt=m_cnt,
                 m_next_ge=m_next_ge, m_prev_le=m_prev_le,
                 m_next_out=m_next_out, m_prev_out=m_prev_out,
-                lin_buckets=lin_buckets)
+                lin_buckets=lin_buckets,
+                conf_idx=conf_idx, conf_off=conf_off)

@@ -181,6 +181,13 @@ class PropagatorKernels:
                        for op, xs, ys, zs in plan.groups]
         self.buckets = [(b.start, b.count, jnp.asarray(b.cand_idx))
                         for b in plan.buckets]
+        # Singleton-tail conflict fold (see Plan.conf_idx): deductions
+        # into root-fixed vars outside the bucketed combine collapse to
+        # a bot signal in the dummy column.
+        self.conf_idx = (jnp.asarray(plan.conf_idx)
+                         if plan.conf_idx is not None else None)
+        self.conf_off = (jnp.asarray(plan.conf_off)
+                         if plan.conf_idx is not None else None)
         self.n_active = plan.n_active
         self.V = plan.V
         self.P = plan.P
@@ -518,6 +525,16 @@ class PropagatorKernels:
             new_u_parts.append(nu)
         tail_l = lb[:, self.n_active:]
         tail_u = ub[:, self.n_active:]
+        if self.conf_idx is not None:
+            # A deduction (lo, hi) into a var fixed at c is inconsistent
+            # iff lo > c or hi < c; any such conflict raises the dummy
+            # column's lb above its ub (0) => is_bot. Monotone (max), so
+            # the fixpoint convergence logic is unaffected.
+            off = self.conf_off[None, :]
+            conf = ((cand_l[:, self.conf_idx] > off)
+                    | (cand_u[:, self.conf_idx] < off)).any(axis=1)
+            dl = jnp.maximum(tail_l[:, -1], conf.astype(I32))
+            tail_l = jnp.concatenate([tail_l[:, :-1], dl[:, None]], axis=1)
         lb2 = jnp.concatenate(new_l_parts + [tail_l], axis=1)
         ub2 = jnp.concatenate(new_u_parts + [tail_u], axis=1)
         # Maintain the root-box invariant the int32 linear path relies
@@ -690,8 +707,17 @@ class PropagatorKernels:
             nu = jnp.minimum(ubT[start:start + count], gu.min(axis=1))
             new_l_parts.append(nl)
             new_u_parts.append(nu)
-        lb2 = jnp.concatenate(new_l_parts + [lbT[self.n_active:]], axis=0)
-        ub2 = jnp.concatenate(new_u_parts + [ubT[self.n_active:]], axis=0)
+        tail_l = lbT[self.n_active:]
+        tail_u = ubT[self.n_active:]
+        if self.conf_idx is not None:
+            # Transposed twin of the singleton-tail conflict fold.
+            off = self.conf_off[:, None]
+            conf = ((cand_l[self.conf_idx] > off)
+                    | (cand_u[self.conf_idx] < off)).any(axis=0)
+            dl = jnp.maximum(tail_l[-1], conf.astype(I32))
+            tail_l = jnp.concatenate([tail_l[:-1], dl[None, :]], axis=0)
+        lb2 = jnp.concatenate(new_l_parts + [tail_l], axis=0)
+        ub2 = jnp.concatenate(new_u_parts + [tail_u], axis=0)
         return (jnp.minimum(lb2, self._ub_cap[:, None]),
                 jnp.maximum(ub2, self._lb_floor[:, None]))
 
