@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--trials", type=int, default=300)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--hybrid", action="store_true")
+    ap.add_argument("--checkpoint", action="store_true",
+                    help="also run an interrupt(node_limit)+resume pass "
+                         "per trial and require the same answer")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +112,19 @@ def main():
             max_depth=0, fp_max_iters=int(rng.choice([8, 16, 10000]))))
         re = s.solve(timeout_s=120, chunk=8)
         solvers = [("engine", re)]
+        if args.checkpoint and ro.status == "optimal" and re.nodes > 8:
+            import tempfile
+
+            cfg2 = EngineConfig(num_dives=4, subproblems_power=4,
+                                max_depth=0)
+            with tempfile.TemporaryDirectory() as td:
+                ck = f"{td}/ck.pkl"
+                BatchedSolver(tnf, cfg2).solve(
+                    timeout_s=120, node_limit=max(8, re.nodes // 2),
+                    checkpoint_path=ck)
+                rr = BatchedSolver(tnf, cfg2).solve(timeout_s=120,
+                                                    checkpoint_path=ck)
+            solvers.append(("resume", rr))
         if args.hybrid:
             from turbo_tpu.solver.hybrid import HybridSolver
             rh = HybridSolver(tnf, EngineConfig(
