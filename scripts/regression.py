@@ -21,7 +21,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-def make_solver(tnf, arch: str, or_nodes: int):
+def make_solver(tnf, arch: str, or_nodes: int, disable_simplify=False):
     """Build the solver exactly as the regression runs it — shared with
     scripts/warm_goldens.py so cache warming compiles the very same
     programs (same config => same traced step => same executable)."""
@@ -30,7 +30,8 @@ def make_solver(tnf, arch: str, or_nodes: int):
     if nd == 0:
         from turbo_tpu.solver.plan import auto_num_dives
         nd = auto_num_dives(tnf)
-    cfgc = EngineConfig(num_dives=nd, fp_max_iters=16)
+    cfgc = EngineConfig(num_dives=nd, fp_max_iters=16,
+                        disable_simplify=disable_simplify)
     if arch == "multi":
         from turbo_tpu.parallel.mesh import ShardedSolver
         return ShardedSolver(tnf, cfgc)
@@ -50,6 +51,10 @@ def main():
     ap.add_argument("--or", dest="or_nodes", type=int, default=32)
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
+    ap.add_argument("--disable-simplify", action="store_true",
+                    help="run the reference harness's second leg "
+                         "(test_turbo.sh simplify_flag sweep): same "
+                         "goldens with -disable_simplify semantics")
     args = ap.parse_args()
 
     if args.platform:
@@ -79,7 +84,8 @@ def main():
                 # Auto EPS split: the engine's root-tree probe shrinks
                 # the subproblem power on tiny proof trees by itself
                 # (probe_tree_power, engine.py), so no per-harness pin.
-                s = make_solver(tnf, args.arch, args.or_nodes)
+                s = make_solver(tnf, args.arch, args.or_nodes,
+                                args.disable_simplify)
                 r = s.solve(timeout_s=args.timeout)
             dt = time.time() - t0
             if r.status in ("optimal", "sat") and                     getattr(r, "best_lb", None) is not None:
