@@ -55,6 +55,11 @@ def main():
                     help="run the reference harness's second leg "
                          "(test_turbo.sh simplify_flag sweep): same "
                          "goldens with -disable_simplify semantics")
+    # chunk 64: the relay's per-program-call dispatch floor is ~33% of
+    # chunk time at 16 steps, ~11% at 64 (DESIGN.md TPU profile) — for
+    # the 60 s proof budget that overhead is pure loss. step_n is a
+    # fori_loop so compile cost does not grow with the chunk.
+    ap.add_argument("--chunk", type=int, default=64)
     args = ap.parse_args()
 
     if args.platform:
@@ -86,7 +91,9 @@ def main():
                 # (probe_tree_power, engine.py), so no per-harness pin.
                 s = make_solver(tnf, args.arch, args.or_nodes,
                                 args.disable_simplify)
-                r = s.solve(timeout_s=args.timeout)
+                kw = ({"chunk": args.chunk}
+                      if args.arch in ("tpu", "multi") else {})
+                r = s.solve(timeout_s=args.timeout, **kw)
             dt = time.time() - t0
             if r.status in ("optimal", "sat") and                     getattr(r, "best_lb", None) is not None:
                 from turbo_tpu.utils.checker import check_solution

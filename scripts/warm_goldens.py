@@ -27,7 +27,7 @@ LIST = os.environ.get("GOLDEN_LIST",
                       "/root/reference/benchmarks/test_list.csv")
 ARCH = os.environ.get("WARM_ARCH", "tpu")
 OR_NODES = int(os.environ.get("WARM_OR", "0"))
-CHUNK = int(os.environ.get("WARM_CHUNK", "16"))
+CHUNK = int(os.environ.get("WARM_CHUNK", "64"))  # match regression --chunk
 
 
 def main():
