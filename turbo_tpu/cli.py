@@ -185,7 +185,8 @@ def run(cfg: Configuration) -> int:
                     fp_mode=("wac1" if cfg.fixpoint == "wac1"
                              else "fixpoint"),
                     wac1_threshold=cfg.wac1_threshold,
-                    disable_simplify=cfg.disable_simplify)
+                    disable_simplify=cfg.disable_simplify,
+                    shave=cfg.shave)
         solver = MultiHostSolver(tnf, econf)
         r = solver.solve(timeout_s=timeout_s,
                          stop_after_n_solutions=cfg.stop_after_n_solutions,
@@ -240,7 +241,8 @@ def run(cfg: Configuration) -> int:
                          fp_mode=("wac1" if cfg.fixpoint == "wac1"
                                   else "fixpoint"),
                          wac1_threshold=cfg.wac1_threshold,
-                         disable_simplify=cfg.disable_simplify)
+                         disable_simplify=cfg.disable_simplify,
+                         shave=cfg.shave)
     if arch == "multi":
         from .parallel.mesh import ShardedSolver
 

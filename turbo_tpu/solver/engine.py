@@ -144,6 +144,12 @@ class EngineConfig:
     # passes (entailed-prop drop, rhs folding, store compaction); the
     # root fixpoint still runs (preprocess_tcn, common_solving.hpp:530).
     disable_simplify: bool = False
+    # Root bound shaving (plan.shave_root, beyond the reference):
+    # probe-and-refute presolve on the root bounds. Opt-in (-shave):
+    # measured a strict no-op on the golden proof trees (pat13: 221
+    # bounds shaved, node count identical to the digit), so the host
+    # presolve cost buys nothing there — see DESIGN.md.
+    shave: bool = False
 
 
 def probe_tree_power(tnf, probe_nodes: int = 2000,
@@ -294,7 +300,8 @@ class BatchedSolver:
         self.axis_name = axis_name
         self.num_shards = num_shards
         self.plan = build_plan(tnf,
-                               disable_simplify=config.disable_simplify)
+                               disable_simplify=config.disable_simplify,
+                               shave=config.shave)
         self._apply_strategy_config()
         self.kernels = PropagatorKernels(self.plan)
         if (config.fp_mode == "wac1"

@@ -56,7 +56,8 @@ class HybridSolver:
         self.tnf = tnf
         self.cfg = config
         self.plan = build_plan(tnf,
-                               disable_simplify=config.disable_simplify)
+                               disable_simplify=config.disable_simplify,
+                               shave=config.shave)
         from .engine import apply_strategy_config, auto_max_depth
         if config.max_depth <= 0:
             import dataclasses as _dc

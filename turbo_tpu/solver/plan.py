@@ -245,14 +245,71 @@ def auto_num_dives(tnf: Tnf, budget_bytes: Optional[int] = None,
     return p
 
 
+# Root-shaving limits. All DETERMINISTIC functions of the instance —
+# no wall-clock budget: warm_goldens must build byte-identical plans
+# to the regression run (shaved bounds feed Plan.data_digest, which
+# keys the executable cache), so the probe schedule may depend only on
+# the model, never on machine speed.
+SHAVE_ROUNDS = 2
+SHAVE_PROBE_ITERS = 12
+SHAVE_MAX_PROBES_PER_ROUND = 4096   # 2 * unfixed vars
+SHAVE_MAX_PROPS = 8192
+
+
+def shave_root(table: PropTable, lb: np.ndarray, ub: np.ndarray,
+               rounds: int = SHAVE_ROUNDS,
+               probe_iters: int = SHAVE_PROBE_ITERS) -> int:
+    """Root bound shaving (singleton bound consistency on the bounds).
+
+    For every unfixed variable, probe each bound assignment (x=lb,
+    x=ub) with a short capped AC-1 fixpoint; a probe that reaches bot
+    REFUTES that bound, which is then shaved off and the root
+    re-propagated. Sound in one direction only: deductions are sound,
+    so bot under a capped sweep is a valid refutation, while a non-bot
+    capped probe proves nothing and shaves nothing. Removes only
+    values that belong to no solution, so the full solution set (and
+    every optimum) is preserved — unlike the simplification passes it
+    can only *strengthen* the entailed-drop/folding that follows.
+
+    Beyond the reference: the GPU driver has no probing presolve.
+    Mutates lb/ub in place; returns the number of shaved bounds, or -1
+    if shaving proved the root unsat (every value of some variable
+    refuted)."""
+    cuts = 0
+    for _ in range(rounds):
+        changed = False
+        for v in np.flatnonzero(ub > lb):
+            for side in (0, 1):
+                l2, u2 = lb.copy(), ub.copy()
+                if side == 0:
+                    u2[v] = l2[v]
+                else:
+                    l2[v] = u2[v]
+                _, _, bot = table.propagate(l2, u2, max_iters=probe_iters)
+                if bot:
+                    if side == 0:
+                        lb[v] += 1
+                    else:
+                        ub[v] -= 1
+                    _, _, rbot = table.propagate(lb, ub)
+                    cuts += 1
+                    changed = True
+                    if rbot or lb[v] > ub[v]:
+                        return -1
+        if not changed:
+            break
+    return cuts
+
+
 def build_plan(tnf: Tnf, max_bucket_k: int = 64,
-               disable_simplify: bool = False) -> Plan:
+               disable_simplify: bool = False, shave: bool = False) -> Plan:
     """disable_simplify mirrors the reference's -disable_simplify
     (config.cpp:41, preprocess_tcn common_solving.hpp:530-536): the
     root fixpoint still runs, but the simplification passes — entailed-
     propagator elimination, root-singleton rhs folding, useless-variable
     store compaction — are skipped, so the device plan carries the full
-    unsimplified constraint network."""
+    unsimplified constraint network. Shaving counts as a simplification
+    pass, so the flag disables it too."""
     Vr = tnf.num_vars  # real var count
     lb = tnf.lb0.copy()
     ub = tnf.ub0.copy()
@@ -263,6 +320,17 @@ def build_plan(tnf: Tnf, max_bucket_k: int = 64,
     if not root_unsat and tnf.num_props:
         _, _, bot = table.propagate(lb, ub)
         root_unsat = root_unsat or bot
+
+    # Root shaving (see shave_root). Gated by deterministic size limits
+    # so the probe sweep stays a few seconds of host presolve (it scales
+    # as unfixed-vars x propagators); big instances skip it.
+    if (shave and not disable_simplify and not root_unsat
+            and tnf.num_props <= SHAVE_MAX_PROPS
+            and 2 * int(np.count_nonzero(ub > lb))
+                <= SHAVE_MAX_PROBES_PER_ROUND):
+        if shave_root(table, lb, ub) < 0:
+            root_unsat = True
+
     if root_unsat:
         lb, ub = tnf.lb0.copy(), tnf.ub0.copy()
 

@@ -38,6 +38,7 @@ class Configuration:
     eps_var_order: str = "default"
     eps_value_order: str = "default"
     disable_simplify: bool = False
+    shave: bool = False                  # (TPU extra) root shaving presolve
     force_ternarize: bool = False
     disable_network_analysis: bool = False
     checkpoint_path: str = ""
@@ -111,6 +112,10 @@ def parse_args(argv=None) -> Configuration:
                    help="use ac1 when fewer propagators than this "
                         "(config.cpp:28)")
     p.add_argument("-disable_simplify", action="store_true")
+    p.add_argument("-shave", action="store_true",
+                   help="enable the root bound-shaving presolve (TPU "
+                        "extra; measured no-op on the golden proofs - "
+                        "see DESIGN.md - so off by default)")
     p.add_argument("-force_ternarize", action="store_true")
     p.add_argument("-disable_network_analysis", action="store_true")
     p.add_argument("-globalmem", action="store_true",
@@ -166,6 +171,7 @@ def parse_args(argv=None) -> Configuration:
         eps_var_order=a.eps_var_order, eps_value_order=a.eps_value_order,
         checkpoint_path=a.checkpoint,
         disable_simplify=a.disable_simplify,
+        shave=a.shave,
         force_ternarize=a.force_ternarize,
         disable_network_analysis=a.disable_network_analysis,
         fixpoint=a.fp, wac1_threshold=a.wac1_threshold,
