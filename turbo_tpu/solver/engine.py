@@ -248,6 +248,20 @@ def choose_subproblems_power(tnf, config, num_shards: int,
         while kb < 30 and ((1 << (kb + 1)) * (kb + 1)) // max(D * num_shards, 1) <= budget:
             kb += 1
         k = min(k, kb)
+        # Refill cap (round 3): ~2^REFILL_BITS refills per lane. Every
+        # completed subproblem costs a fresh k-step dive replay, and on
+        # chip that replay DOMINATES small proofs: pat13 at D=1024 ran
+        # with 1007-1021/1024 lanes in DIVE phase (measured profile) —
+        # at the old k=16, 65536 subproblems x 16 lockstep steps ≈ 1M
+        # dive visits against a 200k-node proof tree. With 4 refills
+        # per lane the guaranteed dive work is k*4*D visits total and
+        # the EPS tail resplit (re-splitting stragglers 2^j-finer once
+        # the range drains) replaces fine pre-splitting as the load
+        # balancer. The reference has no such correction because its
+        # MIMD blocks pay a dive only per block, not per SIMD step.
+        refill_bits = int(os.environ.get("TURBO_TPU_REFILL_BITS", "2"))
+        kr = int(np.ceil(np.log2(max(1, D * num_shards)))) + refill_bits
+        k = min(k, max(kr, 1))
         if not config.enumerate_all and allow_probe:
             kp = probe_tree_power(tnf)
             if kp is not None:
