@@ -107,14 +107,16 @@ def main():
         ro = oracle_solve(tnf, timeout_s=60)
         if ro.status not in ("optimal", "unsat"):
             continue  # oracle timeout: no golden to compare
-        # Fuzz the fixpoint variants too (mode x layout): whichever the
-        # chip A/B promotes to default must have the same soundness
-        # mileage as the current ac1/dv path.
+        # Fuzz the fixpoint variants too: whichever the chip A/B
+        # promotes to default must have the same soundness mileage as
+        # the current ac1/dv path. fp_layout only exists on the ac1
+        # path (wac1 ignores it), so sample the 3 real configurations.
+        fp_mode, fp_layout = [("fixpoint", "dv"), ("fixpoint", "vd"),
+                              ("wac1", "dv")][int(rng.integers(0, 3))]
         s = BatchedSolver(tnf, EngineConfig(
             num_dives=4, subproblems_power=int(rng.integers(2, 6)),
             max_depth=0, fp_max_iters=int(rng.choice([8, 16, 10000])),
-            fp_mode=str(rng.choice(["fixpoint", "wac1"])),
-            fp_layout=str(rng.choice(["dv", "vd"]))))
+            fp_mode=fp_mode, fp_layout=fp_layout))
         re = s.solve(timeout_s=120, chunk=8)
         solvers = [("engine", re)]
         if args.checkpoint and ro.status == "optimal" and re.nodes > 8:

@@ -28,6 +28,9 @@ LIST = os.environ.get("GOLDEN_LIST",
 ARCH = os.environ.get("WARM_ARCH", "tpu")
 OR_NODES = int(os.environ.get("WARM_OR", "0"))
 CHUNK = int(os.environ.get("WARM_CHUNK", "64"))  # match regression --chunk
+# Set to warm the regression's --disable-simplify leg (different plan
+# shapes => different programs than the simplified ones).
+DISABLE_SIMPLIFY = bool(int(os.environ.get("WARM_DISABLE_SIMPLIFY", "0")))
 
 
 def main():
@@ -54,7 +57,7 @@ def main():
             model = (parse_xcsp3(full) if full.endswith(".xml")
                      else parse_fzn(full))
             tnf = compile_model(model)
-            s = make_solver(tnf, ARCH, OR_NODES)
+            s = make_solver(tnf, ARCH, OR_NODES, DISABLE_SIMPLIFY)
             if s.plan.root_unsat:
                 print(f"SKIP {name:34s} root-unsat (no device program)",
                       flush=True)

@@ -300,6 +300,15 @@ def test_checkpoint_resume(tmp_path):
                                    jax.device_get(st2.nodes))
     r = s.solve(timeout_s=120, chunk=8, checkpoint_path=path)
     assert r.status == "optimal" and r.objective == -16
+    # Same SHAPES but different plan DATA must be rejected (v4): a
+    # -shave run can tighten lb0/ub0 without changing any shape, and
+    # resuming lane state against different root bounds remaps the
+    # subproblem bit-paths. Simulate with a solver whose plan data
+    # digest differs.
+    s_shaved = BatchedSolver(tnf, EngineConfig(
+        num_dives=8, subproblems_power=6, max_depth=64, shave=True))
+    if s_shaved.plan.data_digest != s.plan.data_digest:
+        assert load_state(s_shaved, path) is None
 
 
 def test_jax_linear_kernel_matches_numpy():
@@ -872,10 +881,14 @@ def test_tail_resplit_preserves_answers(bench_dir):
             == r.eps_num_subproblems == 32)
 
 
-def test_auto_subproblems_capped_by_dive_budget():
+def test_auto_subproblems_capped_by_dive_budget(monkeypatch):
     """The factor-based EPS split (config.hpp:76) is additionally
     capped so per-lane lockstep dive work stays bounded (round-3 SIMD
     economics, DESIGN.md)."""
+    # The caps read env knobs at call time; pin the defaults so an
+    # exported benchmarking override cannot flip the exact assertions.
+    monkeypatch.delenv("TURBO_TPU_REFILL_BITS", raising=False)
+    monkeypatch.delenv("TURBO_TPU_DIVE_BUDGET", raising=False)
     from turbo_tpu.solver.engine import choose_subproblems_power
     for D, kexp in ((64, 8), (256, 10), (1024, 12)):
         k = choose_subproblems_power(None, EngineConfig(num_dives=D), 1,

@@ -17,7 +17,12 @@ from .engine import BatchedSolver, SearchState
 
 # v2: SearchState gained ext_bound (multi-host)
 # v3: SearchState gained fp_cap (traced fixpoint cap)
-FORMAT_VERSION = 3
+# v4: payload gained data_digest — shapes alone cannot tell two plans
+#     apart when only plan DATA differs (e.g. -shave tightened lb0/ub0
+#     without dropping a propagator): resuming lane state against
+#     different root bounds would remap subproblem bit-paths to
+#     different subtrees, silently breaking exhaustiveness.
+FORMAT_VERSION = 4
 
 
 def save_state(solver: BatchedSolver, st: SearchState, path: str,
@@ -26,6 +31,7 @@ def save_state(solver: BatchedSolver, st: SearchState, path: str,
     payload = {
         "format": FORMAT_VERSION,
         "shape_signature": solver.plan.shape_signature,
+        "data_digest": solver.plan.data_digest,
         "num_dives": solver.cfg.num_dives,
         "max_depth": solver.cfg.max_depth,
         "num_shards": num_shards,
@@ -62,6 +68,9 @@ def load_state(solver: BatchedSolver, path: str, num_shards: int = 1,
                            f"{FORMAT_VERSION}")
         if payload["shape_signature"] != solver.plan.shape_signature:
             return _reject("different instance/plan shapes")
+        if payload["data_digest"] != solver.plan.data_digest:
+            return _reject("same shapes but different plan data "
+                           "(instance content or presolve flags differ)")
         if payload["num_dives"] != solver.cfg.num_dives or \
                 payload["max_depth"] != solver.cfg.max_depth:
             return _reject("different num_dives/max_depth config")

@@ -280,6 +280,13 @@ def shave_root(table: PropTable, lb: np.ndarray, ub: np.ndarray,
         changed = False
         for v in np.flatnonzero(ub > lb):
             for side in (0, 1):
+                # A bound sitting at the clamped-universe sentinel is
+                # not a real model value: probing x=±(2^30-1) wastes a
+                # full-table sweep and a successful "cut" shrinks a
+                # ~2^31 domain by one — skip effectively-unbounded
+                # sides entirely.
+                if (lb[v] <= NINF if side == 0 else ub[v] >= INF):
+                    continue
                 l2, u2 = lb.copy(), ub.copy()
                 if side == 0:
                     u2[v] = l2[v]
