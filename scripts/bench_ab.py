@@ -42,9 +42,13 @@ def main():
                     help="extra fixpoint-cap sweep values (traced: no "
                          "recompile), applied to every variant")
     ap.add_argument("--out", default="/tmp/bench_ab.jsonl")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
     from turbo_tpu.compile.model import compile_model

@@ -33,9 +33,13 @@ def main():
     ap.add_argument("--measure-s", type=float, default=90.0)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--out", default="/tmp/bench_big.jsonl")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
     from turbo_tpu.compile.model import compile_model

@@ -39,9 +39,13 @@ def main():
     ap.add_argument("--fp-fixed-iters", type=int, default=2)
     ap.add_argument("--max-depth", type=int, default=256)
     ap.add_argument("--out", default="/tmp/scaling_results.jsonl")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
     from turbo_tpu.compile.model import compile_model
