@@ -36,8 +36,9 @@ def main():
     ap.add_argument("--variants", default=(
         "fixpoint:dv:64:256,fixpoint:vd:64:256,wac1:dv:64:256,"
         "fixed2:dv:64:256,fixpoint:dv:16:256,fixpoint:dv:64:0"),
-        help="comma list of mode:layout:chunk:maxdepth (mode fixedN = "
-             "fixed sweeps with N iters; maxdepth 0 = auto)")
+        help="comma list of mode:layout:chunk:maxdepth[:gather] (mode "
+             "fixedN = fixed sweeps with N iters; maxdepth 0 = auto; "
+             "gather take|onehot)")
     ap.add_argument("--caps", default="",
                     help="extra fixpoint-cap sweep values (traced: no "
                          "recompile), applied to every variant")
@@ -61,7 +62,9 @@ def main():
     inst = inst.replace("example_", "")
 
     for spec in args.variants.split(","):
-        mode, layout, chunk, maxd = spec.split(":")
+        parts = spec.split(":")
+        mode, layout, chunk, maxd = parts[:4]
+        gather = parts[4] if len(parts) > 4 else "take"
         chunk, maxd = int(chunk), int(maxd)
         fixed_iters = 2
         if mode.startswith("fixed") and mode != "fixed":
@@ -71,7 +74,7 @@ def main():
             mode_cfg = mode
         row = {"instance": inst, "D": args.dives, "mode": mode,
                "layout": layout, "chunk": chunk, "max_depth": maxd,
-               "fp_cap": args.fp_cap}
+               "gather": gather, "fp_cap": args.fp_cap}
         try:
             import jax.numpy as jnp
             t0 = time.monotonic()
@@ -79,7 +82,7 @@ def main():
                 num_dives=args.dives, subproblems_power=14,
                 max_depth=maxd, fp_max_iters=args.fp_cap,
                 fp_mode=mode_cfg, fp_layout=layout,
-                fp_fixed_iters=fixed_iters))
+                fp_fixed_iters=fixed_iters, gather_mode=gather))
             step_n = solver.make_step_n(chunk)
             compile_s = None
             caps = [args.fp_cap] + [int(c) for c in args.caps.split(",")

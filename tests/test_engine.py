@@ -1,6 +1,7 @@
 """Batched engine tests: golden objectives, oracle equivalence,
 propagation cross-checks, multi-chip sharding."""
 import glob
+import os
 
 import numpy as np
 import pytest
@@ -760,6 +761,60 @@ def test_engine_vd_layout_matches_dv(bench_dir):
     r2 = BatchedSolver(tnf, EngineConfig(
         num_dives=8, subproblems_power=5, max_depth=64,
         fp_layout="vd")).solve(timeout_s=120)
+    assert r1.status == r2.status == "optimal"
+    assert r1.objective == r2.objective == -16
+    assert r1.nodes == r2.nodes
+
+
+def test_onehot_gather_mode_matches_take(bench_dir):
+    """The MXU one-hot role-gather path (exact dual-half f32 selection
+    matmuls) must be bit-identical to plain gathers — including on
+    stores holding the +-(2^30-1) unbounded-domain sentinels, the
+    values that stress the 16-bit-half exactness argument."""
+    import jax.numpy as jnp
+    from turbo_tpu.solver.plan import build_plan
+    # minimize_unconstrained: unbounded vars => sentinel bounds.
+    for name in ("sudoku_opt3.fzn", "minimize_unconstrained.fzn"):
+        tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / name)))
+        plan = build_plan(tnf)
+        kt = PropagatorKernels(plan, gather_mode="take")
+        ko = PropagatorKernels(plan, gather_mode="onehot")
+        assert ko.gather_mode == "onehot"
+        rng = np.random.default_rng(11)
+        D = 4
+        lb = np.repeat(plan.lb0[None, :], D, 0).astype(np.int32)
+        ub = np.repeat(plan.ub0[None, :], D, 0).astype(np.int32)
+        for d in range(D):
+            for v in rng.choice(plan.V, size=min(6, plan.V),
+                                replace=False):
+                if lb[d, v] < ub[d, v]:
+                    lo = rng.integers(lb[d, v], int(ub[d, v]) + 1)
+                    hi = rng.integers(lo, int(ub[d, v]) + 1)
+                    lb[d, v], ub[d, v] = lo, hi
+        l1, u1 = kt.iteration(jnp.asarray(lb), jnp.asarray(ub))
+        l2, u2 = ko.iteration(jnp.asarray(lb), jnp.asarray(ub))
+        assert np.array_equal(np.asarray(l1), np.asarray(l2)), name
+        assert np.array_equal(np.asarray(u1), np.asarray(u2)), name
+        l3, u3 = kt.iteration_t(jnp.asarray(lb.T), jnp.asarray(ub.T))
+        l4, u4 = ko.iteration_t(jnp.asarray(lb.T), jnp.asarray(ub.T))
+        assert np.array_equal(np.asarray(l3), np.asarray(l4)), name
+        assert np.array_equal(np.asarray(u3), np.asarray(u4)), name
+    # Size gate: a tiny budget must revert to plain gathers, loudly
+    # recorded in the effective mode (and hence the program key).
+    os.environ["TURBO_TPU_ONEHOT_MAX_MB"] = "0.0001"
+    try:
+        kg = PropagatorKernels(plan, gather_mode="onehot")
+        assert kg.gather_mode == "take"
+    finally:
+        del os.environ["TURBO_TPU_ONEHOT_MAX_MB"]
+    # End-to-end: identical search (same tree, same optimum).
+    tnf = compile_model(parse_fzn(
+        str(bench_dir / "test_data" / "sudoku_opt4.fzn")))
+    r1 = BatchedSolver(tnf, EngineConfig(
+        num_dives=8, subproblems_power=5, max_depth=64)).solve(timeout_s=120)
+    r2 = BatchedSolver(tnf, EngineConfig(
+        num_dives=8, subproblems_power=5, max_depth=64,
+        gather_mode="onehot")).solve(timeout_s=120)
     assert r1.status == r2.status == "optimal"
     assert r1.objective == r2.objective == -16
     assert r1.nodes == r2.nodes

@@ -172,7 +172,8 @@ class ShardedSolver:
                            self.solver.cfg.fp_fixed_iters,
                            self.solver.cfg.fp_unroll,
                            self.solver.cfg.wac1_inner_cap, self.n_shards,
-                           self.solver.cfg.enumerate_all)
+                           self.solver.cfg.enumerate_all,
+                           self.solver.kernels.gather_mode)
             self._step_n_cache[n] = cached_compile(
                 jax.jit(sharded_steps, donate_argnums=0),
                 (self.init_state(),), program_key, verbose=True)

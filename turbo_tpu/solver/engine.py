@@ -121,6 +121,12 @@ class EngineConfig:
     # gathers - see PropagatorKernels.iteration_t).
     fp_layout: str = "dv"
     fp_fixed_iters: int = 2
+    # Role-gather implementation inside the sweep: "take" = plain
+    # static-index gathers; "onehot" = exact dual-half f32 one-hot
+    # matmuls on the MXU (PropagatorKernels._onehot_take), size-gated —
+    # silently reverts to "take" when the dense selection matrices
+    # would not fit (see kernels.gather_mode for the effective value).
+    gather_mode: str = "take"
     # Sweeps unrolled inside each fixpoint while-iteration. Measured on
     # the chip (pat13, D=1024): no runtime win — the while trip count
     # is set by the slowest lane (~the cap) either way — but ~4x the
@@ -317,7 +323,8 @@ class BatchedSolver:
                                disable_simplify=config.disable_simplify,
                                shave=config.shave)
         self._apply_strategy_config()
-        self.kernels = PropagatorKernels(self.plan)
+        self.kernels = PropagatorKernels(self.plan,
+                                         gather_mode=config.gather_mode)
         if (config.fp_mode == "wac1"
                 and self.plan.num_real_props < config.wac1_threshold):
             # Reference semantics: WAC1 behaves as AC1 below the
@@ -835,7 +842,11 @@ class BatchedSolver:
                            self.cfg.fp_mode, self.cfg.fp_layout,
                            self.cfg.fp_fixed_iters, self.cfg.fp_unroll,
                            self.cfg.wac1_inner_cap, self.axis_name,
-                           self.cfg.enumerate_all)
+                           self.cfg.enumerate_all,
+                           # Effective (post-size-gate) gather mode: the
+                           # key must distinguish programs, and a gated
+                           # "onehot" request compiles the "take" body.
+                           self.kernels.gather_mode)
             self._step_n_cache[n] = cached_compile(
                 step_n, (self.init_state(),), program_key, verbose=True)
             self._step_n_jit = getattr(self, "_step_n_jit", {})

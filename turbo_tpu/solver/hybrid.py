@@ -64,7 +64,8 @@ class HybridSolver:
             config = _dc.replace(config, max_depth=auto_max_depth(self.plan))
         self.cfg = config
         self.has_eps = apply_strategy_config(self.plan, config)
-        self.kernels = PropagatorKernels(self.plan)
+        self.kernels = PropagatorKernels(self.plan,
+                                         gather_mode=config.gather_mode)
         self.opt = self.plan.is_opt
         C = config.num_dives
         k = config.subproblems_power

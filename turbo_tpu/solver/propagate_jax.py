@@ -21,6 +21,7 @@ tests cross-check both on random stores.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -175,7 +176,7 @@ def _ask_group(op, lx, ux, ly, uy, lz, uz):
 class PropagatorKernels:
     """Compiled-in static tables + jit-compatible propagation functions."""
 
-    def __init__(self, plan: Plan):
+    def __init__(self, plan: Plan, gather_mode: str = "take"):
         self.plan = plan
         self.groups = [(op, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs))
                        for op, xs, ys, zs in plan.groups]
@@ -203,6 +204,34 @@ class PropagatorKernels:
         for op, xs, _, _ in plan.groups:
             self.group_slices.append((op, base, base + len(xs)))
             base += len(xs)
+        # MXU one-hot role gathers (VERDICT r2 item 3: the role gathers
+        # are ~14% of measured sweep time; the wordpress TPU profile
+        # charges it to gather irregularity, not bandwidth). The gather
+        # indices are STATIC, so lb[:, all_x] is exactly lb @ G for a
+        # 0/1 selection matrix G (V, 3P) — and a selection matmul rides
+        # the 128x128 systolic array instead of the scalar gather unit.
+        # Exactness: store values are clamped to +-(2^30) (universe +
+        # root-box slack), so the 16-bit halves hi = v >> 16 in
+        # [-2^14, 2^14) and lo = v & 0xffff in [0, 2^16) are both exact
+        # in f32; each output column selects exactly ONE input (the
+        # other products are exact zeros), so the f32 accumulation is
+        # exact and the int32 recombine hi*2^16 + lo is lossless.
+        # Size-gated: the dense G costs 3*V*P f32, fine at headline
+        # scale (wordpress: ~2 MB/role) but hopeless at trains15 scale.
+        self.gather_mode = "take"
+        if gather_mode == "onehot" and plan.groups:
+            P3 = int(self.all_x.shape[0])
+            budget = float(os.environ.get("TURBO_TPU_ONEHOT_MAX_MB",
+                                          "128")) * 1e6
+            if 3 * 4.0 * plan.V * P3 <= budget:
+                def onehot(idx):
+                    g = np.zeros((plan.V, len(idx)), dtype=np.float32)
+                    g[np.asarray(idx), np.arange(len(idx))] = 1.0
+                    return jnp.asarray(g)
+                self._G_roles = tuple(
+                    onehot(np.concatenate([g[i] for g in plan.groups]))
+                    for i in (1, 2, 3))
+                self.gather_mode = "onehot"
         # Native element / membership tables (see plan.py).
         self.E = plan.E
         self.M = plan.M
@@ -271,6 +300,38 @@ class PropagatorKernels:
             self.m_prev_out = jnp.asarray(plan.m_prev_out.reshape(-1))
 
     SUM_CLAMP = 1 << 40
+
+    def _onehot_take(self, plane, G, transposed: bool = False):
+        """Exact int32 static gather as two f32 one-hot matmuls (see
+        __init__). Precision.HIGHEST keeps the TPU matmul at full f32
+        fidelity (the default would round operands to bf16); the values
+        moved are < 2^16 so even the 3-pass decomposition is exact, but
+        HIGHEST removes any toolchain dependence."""
+        hi = jnp.right_shift(plane, 16).astype(jnp.float32)
+        lo = jnp.bitwise_and(plane, 0xffff).astype(jnp.float32)
+        prec = jax.lax.Precision.HIGHEST
+        if transposed:  # plane (V, D) -> (3P, D); G.T constant-folds
+            mh = jnp.matmul(G.T, hi, precision=prec)
+            ml = jnp.matmul(G.T, lo, precision=prec)
+        else:           # plane (D, V) -> (D, 3P)
+            mh = jnp.matmul(hi, G, precision=prec)
+            ml = jnp.matmul(lo, G, precision=prec)
+        return mh.astype(I32) * 65536 + ml.astype(I32)
+
+    def _role_gathers(self, lb, ub, transposed: bool = False):
+        """The six per-sweep role gathers (lb/ub x operand role),
+        either as plain takes or as MXU one-hot matmuls."""
+        if self.gather_mode == "onehot":
+            Gx, Gy, Gz = self._G_roles
+            t = transposed
+            return (self._onehot_take(lb, Gx, t), self._onehot_take(ub, Gx, t),
+                    self._onehot_take(lb, Gy, t), self._onehot_take(ub, Gy, t),
+                    self._onehot_take(lb, Gz, t), self._onehot_take(ub, Gz, t))
+        if transposed:
+            return (lb[self.all_x], ub[self.all_x], lb[self.all_y],
+                    ub[self.all_y], lb[self.all_z], ub[self.all_z])
+        return (lb[:, self.all_x], ub[:, self.all_x], lb[:, self.all_y],
+                ub[:, self.all_y], lb[:, self.all_z], ub[:, self.all_z])
 
     def _linear_bucket_cands(self, lb, ub, lbk, unit=False, fit32=False):
         """Candidates for one linear bucket: returns (term_lo, term_hi
@@ -473,9 +534,7 @@ class PropagatorKernels:
         D = lb.shape[0]
         # Six consolidated gathers (one per role x bound), then per-op
         # rule compute on static slices (pure elementwise, fuses).
-        LX, UX = lb[:, self.all_x], ub[:, self.all_x]
-        LY, UY = lb[:, self.all_y], ub[:, self.all_y]
-        LZ, UZ = lb[:, self.all_z], ub[:, self.all_z]
+        LX, UX, LY, UY, LZ, UZ = self._role_gathers(lb, ub)
         # Role-major candidate layout (see plan.py): a plain concat of
         # per-group outputs; interleaved layouts cost XLA-TPU an
         # enormous layout-assignment blowup.
@@ -664,9 +723,8 @@ class PropagatorKernels:
         if self.P == 0:
             return lbT, ubT
         D = lbT.shape[1]
-        LX, UX = lbT[self.all_x], ubT[self.all_x]
-        LY, UY = lbT[self.all_y], ubT[self.all_y]
-        LZ, UZ = lbT[self.all_z], ubT[self.all_z]
+        LX, UX, LY, UY, LZ, UZ = self._role_gathers(lbT, ubT,
+                                                    transposed=True)
         xls, yls, zls, xus, yus, zus = [], [], [], [], [], []
         for op, a, b in self.group_slices:
             cxl, cxu, cyl, cyu, czl, czu = _deduce_group(
