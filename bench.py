@@ -92,7 +92,8 @@ def main():
         num_dives=DIVES, subproblems_power=14, max_depth=256,
         fp_max_iters=FP_CAP,
         fp_mode=os.environ.get("BENCH_FP_MODE", "fixpoint"),
-        fp_layout=os.environ.get("BENCH_FP_LAYOUT", "dv")))
+        fp_layout=os.environ.get("BENCH_FP_LAYOUT", "dv"),
+        gather_mode=os.environ.get("BENCH_GATHER_MODE", "take")))
     st = solver.init_state()
     step_n = solver.make_step_n(CHUNK)
     t0 = time.monotonic()
