@@ -91,7 +91,9 @@ def main():
     solver = BatchedSolver(tnf, EngineConfig(
         num_dives=DIVES, subproblems_power=14, max_depth=256,
         fp_max_iters=FP_CAP,
-        fp_mode=os.environ.get("BENCH_FP_MODE", "fixpoint"),
+        # wac1 measured +13% nodes/s over ac1 on the chip with an
+        # identical bound trajectory (DESIGN.md round-3 A/B matrix).
+        fp_mode=os.environ.get("BENCH_FP_MODE", "wac1"),
         fp_layout=os.environ.get("BENCH_FP_LAYOUT", "dv"),
         gather_mode=os.environ.get("BENCH_GATHER_MODE", "take")))
     st = solver.init_state()
