@@ -936,6 +936,58 @@ def test_tail_resplit_preserves_answers(bench_dir):
             == r.eps_num_subproblems == 32)
 
 
+def test_stack_steal_preserves_answers(bench_dir):
+    """Post-drain stack stealing (round 3): with D > 2^k the subproblem
+    range drains at init, so idle lanes can only be fed by stealing open
+    right-branches from straggler stacks. The proof must stay exhaustive
+    with the oracle's optimum, stealing must actually engage, and the
+    coarse subproblem accounting must stay an exact partition."""
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" /
+                                      "sudoku_opt_p0.fzn")))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=8, subproblems_power=2,
+                                        max_depth=128))
+    r = s.solve(timeout_s=300, chunk=8)
+    assert r.status == "optimal" and r.objective == -3
+    assert r.exhaustive
+    assert r.eps_redistributions >= 1
+    assert (r.eps_solved_subproblems + r.eps_skipped_subproblems
+            == r.eps_num_subproblems == 4)
+
+
+def test_stack_steal_differential_random_models():
+    """Stealing surgery differential: random models run with D > 2^k
+    (steal-dominated tails) must agree with the sequential oracle on
+    status and optimum — exercises victim rope-chain rewrites, thief
+    seeding, and repeated steals from one victim."""
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        n = 4
+        lines = []
+        for i in range(n):
+            lines.append(f"var {rng.integers(-4, 0)}.."
+                         f"{rng.integers(3, 8)}: x{i};")
+        for c in range(3):
+            coeffs = rng.integers(-3, 4, size=n)
+            k = int(rng.integers(-4, 18))
+            cs = ",".join(str(int(v)) for v in coeffs)
+            xs = ",".join(f"x{i}" for i in range(n))
+            lines.append(f"constraint int_lin_le([{cs}], [{xs}], {k});")
+        lines.append("constraint int_times(x0, x1, x2);")
+        lines.append(f"solve minimize x{int(rng.integers(0, n))};")
+        text = "\n".join(lines)
+        tnf = compile_model(parse_fzn_text(text))
+        ro = oracle_solve(tnf, timeout_s=30)
+        s = BatchedSolver(tnf, EngineConfig(num_dives=8,
+                                            subproblems_power=1,
+                                            max_depth=64))
+        re = s.solve(timeout_s=60, chunk=4)
+        assert ro.status == re.status, (trial, text, ro.status, re.status)
+        assert ro.objective == re.objective, (trial, text)
+        if re.exhaustive:
+            assert (re.eps_solved_subproblems + re.eps_skipped_subproblems
+                    == re.eps_num_subproblems), (trial, text)
+
+
 def test_auto_subproblems_capped_by_dive_budget(monkeypatch):
     """The factor-based EPS split (config.hpp:76) is additionally
     capped so per-lane lockstep dive work stays bounded (round-3 SIMD

@@ -823,6 +823,119 @@ class BatchedSolver:
         host = host._replace(**out)
         return jax.tree.map(jnp.asarray, host), len(pairs)
 
+    def _steal_open_branches(self, st, phase):
+        """Post-drain work stealing from decision stacks.
+
+        When the subproblem range is drained, straggler lanes grind deep
+        subtrees while the rest idle. The resplit (above) re-splits the
+        stragglers' subtrees from their roots — discarding the work they
+        already did. Stealing is the strictly better move when the
+        straggler has OPEN right branches on its stack: every entry d
+        with dec_cur[d]==0 is an unexplored subtree (the right child the
+        rope restore would eventually flip to). Reseeding an idle lane
+        with that subtree and closing the entry on the victim partitions
+        the victim's remaining work exactly — no node is ever explored
+        twice, unlike the resplit. This is the SIMD analog of classic
+        work-stealing-from-the-bottom-of-the-stack (steal the SHALLOWEST
+        open entry: biggest stolen subtree, fewest steal rounds); the
+        reference's MIMD blocks have no answer to this skew (its EPS
+        refill, barebones_dive_and_solve.hpp:877-884, just grinds).
+
+        Mechanics per steal (victim v, open depth d0, thief lane t):
+          - thief stack = victim stack prefix [0, d0] with cur[d0]=1 and
+            rope1[d0]=-1: exhausting the stolen subtree ropes to -1 ->
+            done_sub -> the lane idles (the victim still owns the
+            subproblem id; coarse accounting is frozen below).
+          - thief store = victim root snapshot meet decisions[0..d0] at
+            their current child (d0 at the right child) — exactly the
+            store the victim's own rope restore to t=d0+1 would rebuild.
+          - victim cur[d0]=1 plus a rope-chain recompute for its live
+            entries above d0 (stored rope1 values are push-time
+            snapshots that may point at the now-closed d0).
+
+        Returns (new_state, n_steals) or None."""
+        D = self.cfg.num_dives
+        idle = np.nonzero(phase == IDLE)[0]
+        if len(idle) == 0:
+            return None
+        host = jax.device_get(st)
+        host = jax.tree.map(np.asarray, host)
+        out = {f: getattr(host, f).copy()
+               for f in ("phase", "subp", "kpow", "remaining", "depth",
+                         "strat", "snap_strat", "lb", "ub",
+                         "root_lb", "root_ub", "dec_var", "dec_l0",
+                         "dec_u0", "dec_l1", "dec_u1", "dec_rope1",
+                         "dec_cur")}
+        # All open entries across SOLVE-phase lanes, shallowest first.
+        opens = []
+        for v in np.nonzero(host.phase == SOLVE)[0]:
+            dep = int(host.depth[v])
+            for d in range(dep):
+                if out["dec_cur"][v, d] == 0:
+                    opens.append((d, int(v)))
+        if not opens:
+            return None
+        opens.sort()
+        n_steals = 0
+        for t in idle:
+            if not opens:
+                break
+            d0, v = opens.pop(0)
+            # Close the branch on the victim. cur[d0]=1 alone would
+            # corrupt the victim's future rebuilds (restores to t > d0
+            # rebuild decisions < t picking the cur child — the victim
+            # is inside d0's LEFT subtree), so the right-child interval
+            # is also rewritten to the left child's: the "cur child" of
+            # the closed entry reproduces the victim's actual path.
+            # The rope chain above d0 is then recomputed with the
+            # current cur values (stored rope1 are push-time snapshots
+            # that may still point at the now-closed d0); rope1[d0]
+            # itself stays valid (cur below a live entry cannot have
+            # flipped since its push — a flip at x < d0 truncates depth
+            # to x+1, killing d0).
+            out["dec_cur"][v, d0] = 1
+            for d in range(d0 + 1, int(host.depth[v])):
+                out["dec_rope1"][v, d] = (
+                    d if out["dec_cur"][v, d - 1] == 0
+                    else out["dec_rope1"][v, d - 1])
+            # Seed the thief BEFORE the victim's l1/u1 rewrite so it
+            # copies the true right child at d0. Shallower entries of
+            # the same victim already closed by earlier steals copy
+            # over with cur=1 and l1=l0 — which correctly reproduces
+            # the victim's path at those depths.
+            for f in ("dec_var", "dec_l0", "dec_u0", "dec_l1", "dec_u1",
+                      "dec_rope1", "dec_cur"):
+                out[f][t, :d0 + 1] = out[f][v, :d0 + 1]
+            out["dec_cur"][t, d0] = 1
+            out["dec_rope1"][t, d0] = -1
+            out["dec_l1"][v, d0] = out["dec_l0"][v, d0]
+            out["dec_u1"][v, d0] = out["dec_u0"][v, d0]
+            lb = host.root_lb[v].copy()
+            ub = host.root_ub[v].copy()
+            for d in range(d0 + 1):
+                var = out["dec_var"][t, d]
+                right = out["dec_cur"][t, d] == 1
+                lb[var] = max(lb[var],
+                              out["dec_l1" if right else "dec_l0"][t, d])
+                ub[var] = min(ub[var],
+                              out["dec_u1" if right else "dec_u0"][t, d])
+            out["lb"][t] = lb
+            out["ub"][t] = ub
+            out["root_lb"][t] = host.root_lb[v]
+            out["root_ub"][t] = host.root_ub[v]
+            out["depth"][t] = d0 + 1
+            out["phase"][t] = SOLVE
+            out["remaining"][t] = 0
+            out["subp"][t] = host.subp[v]
+            out["kpow"][t] = host.kpow[v]
+            out["strat"][t] = host.snap_strat[v]
+            out["snap_strat"][t] = host.snap_strat[v]
+            n_steals += 1
+        if n_steals == 0:
+            return None
+        host = host._replace(**out)
+        return jax.tree.map(jnp.asarray, host), n_steals
+
     def make_step_n(self, n: int):
         if not hasattr(self, "_step_n_cache"):
             self._step_n_cache = {}
@@ -914,6 +1027,8 @@ class BatchedSolver:
         last_best = INF + 1
         resplit_rounds = 0
         resplit_base = None
+        steal_rounds = 0
+        last_steal = 0.0
         while True:
             td = time.monotonic()
             st = step_n(st)
@@ -993,26 +1108,53 @@ class BatchedSolver:
             if time.monotonic() - t0 > timeout_s or steps >= max_steps:
                 stopped = True
                 break
-            # EPS tail refinement: range drained, few stragglers left.
-            if (nsub[0] >= slim[0] and resplit_rounds < 8
+            # EPS tail: once the range is drained, idle lanes can only
+            # get work from the stragglers. Stack stealing first (no
+            # re-exploration); resplit as the fallback when stragglers
+            # have no open branches to steal (e.g. all mid-dive).
+            drained = nsub[0] >= slim[0]
+            idle_n = int((phase == IDLE).sum())
+            # Threshold idle_n >= D/8: each steal round fetches the full
+            # state (stacks + stores) through the relay, so reseeding a
+            # couple of lanes is not worth the transfer; a large idle
+            # pool is.
+            if (drained and idle_n >= max(1, len(phase) // 8)
+                    and not (phase == IDLE).all()
                     and not self.cfg.enumerate_all
-                    and timeout_s - (time.monotonic() - t0) > 5.0):
-                res2 = self._tail_resplit(st, phase)
-                if res2 is not None:
-                    st, n_coarse = res2
+                    and timeout_s - (time.monotonic() - t0) > 2.0
+                    and time.monotonic() - last_steal > 1.0):
+                last_steal = time.monotonic()
+                def _freeze_accounting(n_coarse):
+                    nonlocal resplit_base
                     if resplit_base is None:
-                        # Snapshot coarse accounting: refined-unit
-                        # counter deltas after this point are credited
-                        # as the n_coarse outstanding subproblems once
-                        # the run exhausts (EngineResult post-fix).
+                        # Snapshot coarse accounting: refined/stolen-
+                        # unit counter deltas after this point are
+                        # credited as the n_coarse outstanding
+                        # subproblems once the run exhausts
+                        # (EngineResult post-fix).
                         solved0, skipped0 = jax.device_get(
                             (st.solved_sub, st.skipped_sub))
                         resplit_base = (int(solved0.sum()),
                                         int(skipped0.sum()), n_coarse)
-                    resplit_rounds += 1
+                n_out = len(np.unique(jax.device_get(
+                    st.subp)[np.asarray(phase) != IDLE]))
+                res3 = self._steal_open_branches(st, np.asarray(phase))
+                if res3 is not None:
+                    _freeze_accounting(n_out)
+                    st, n_steals = res3
+                    steal_rounds += 1
                     if verbose:
-                        print(f"% tail resplit #{resplit_rounds}: "
-                              f"{n_coarse} stragglers refined")
+                        print(f"% stack steal #{steal_rounds}: "
+                              f"{n_steals} open branches reseeded")
+                elif resplit_rounds < 8 and idle_n >= (3 * len(phase)) // 4:
+                    res2 = self._tail_resplit(st, phase)
+                    if res2 is not None:
+                        st, n_coarse = res2
+                        _freeze_accounting(n_coarse)
+                        resplit_rounds += 1
+                        if verbose:
+                            print(f"% tail resplit #{resplit_rounds}: "
+                                  f"{n_coarse} stragglers refined")
             if node_limit and int(jax.device_get(st.nodes.sum())) >= node_limit:
                 stopped = True
                 break
@@ -1022,9 +1164,21 @@ class BatchedSolver:
                 save_state(self, st, checkpoint_path)
                 last_ckpt = time.monotonic()
             if verbose:
-                bb = int(jax.device_get(st.best_bound.min()))
-                print(f"% steps={steps} best={bb if bb < INF else None} "
-                      f"idle={(phase == IDLE).sum()}/{len(phase)}")
+                # Occupancy trace: per-chunk wall time, phase histogram
+                # and counter position — the data that adjudicates
+                # whether a slow proof is kernel cost (few slow steps at
+                # full occupancy) or starvation (many steps, most lanes
+                # DIVE/IDLE). See DESIGN.md "EPS economics".
+                bb = int(bbs.min())
+                nd = int(jax.device_get(st.nodes.sum()))
+                print(f"% t={time.monotonic()-t0:6.1f}s steps={steps} "
+                      f"chunk_s={dispatch_dur:.2f} nodes={nd} "
+                      f"best={bb if bb < INF else None} "
+                      f"dive={(phase == DIVE).sum()} "
+                      f"solve={(phase == SOLVE).sum()} "
+                      f"idle={(phase == IDLE).sum()}/{len(phase)} "
+                      f"next_sub={int(nsub[0])}/{int(slim[0])}",
+                      flush=True)
         if checkpoint_path and stopped:
             from .checkpoint import save_state
             save_state(self, st, checkpoint_path)
@@ -1039,7 +1193,7 @@ class BatchedSolver:
                 n_coarse if res.exhaustive else 0)
             res.eps_skipped_subproblems = skipped0
             res.eps_redistributions = (getattr(res, "eps_redistributions", 0)
-                                       or 0) + resplit_rounds
+                                       or 0) + resplit_rounds + steal_rounds
         res.best_obj_time = best_obj_time
         timers.fill_result(res, res.solve_time)
         return res
