@@ -936,47 +936,78 @@ class BatchedSolver:
         host = host._replace(**out)
         return jax.tree.map(jnp.asarray, host), n_steals
 
-    def make_step_n(self, n: int):
-        if not hasattr(self, "_step_n_cache"):
-            self._step_n_cache = {}
-        if n not in self._step_n_cache:
-            @functools.partial(jax.jit, donate_argnums=0)
-            def step_n(st):
-                return jax.lax.fori_loop(0, n, lambda i, s: self.step(s), st)
-            from .exec_cache import cached_compile
-            # data_digest makes the disk-cache alias content-correct:
-            # the compiled step bakes plan tables (and seed-shuffled
-            # strategy lists) in as constants, so identical shapes with
-            # different data must not share an executable.
-            program_key = ("step_n", n, self.plan.shape_signature,
-                           self.plan.data_digest,
-                           self.cfg.num_dives, self.cfg.max_depth,
-                           self.cfg.hot_depth,
-                           self.cfg.fp_mode, self.cfg.fp_layout,
-                           self.cfg.fp_fixed_iters, self.cfg.fp_unroll,
-                           self.cfg.wac1_inner_cap, self.axis_name,
-                           self.cfg.enumerate_all,
-                           # Effective (post-size-gate) gather mode: the
-                           # key must distinguish programs, and a gated
-                           # "onehot" request compiles the "take" body.
-                           self.kernels.gather_mode)
-            self._step_n_cache[n] = cached_compile(
-                step_n, (self.init_state(),), program_key, verbose=True)
-            self._step_n_jit = getattr(self, "_step_n_jit", {})
-            self._step_n_jit[n] = step_n
-            self._step_n_pk = getattr(self, "_step_n_pk", {})
-            self._step_n_pk[n] = program_key
-        return self._step_n_cache[n]
+    def make_step_budget(self):
+        """One compiled program advancing the batch by a TRACED number
+        of steps: `fn(state, n) -> state'`.
 
-    def step_hlo_text(self, n: int):
-        """Optimized-HLO text of the compiled chunk program (for the
+        The chunk size used to be baked into the fori_loop trip count,
+        so every chunk size was its own multi-minute relay compile and
+        the host was stuck with one granularity for a whole solve. On
+        big-P instances a SOLVE-phase step costs ~1.2 s (measured:
+        pat13 D=1024, 64-step chunk = 77 s device call) while dive-
+        phase steps cost ~37 ms — a fixed chunk is either far too
+        coarse for the host loop (timeout overshoot, no steal/resplit
+        granularity) or drowns small steps in the ~83 ms relay dispatch
+        floor. A while_loop with a traced bound makes chunk size a
+        runtime scalar: one executable serves every chunk, and solve()
+        adapts it to a wall-clock target. The loop also early-exits
+        when every lane is IDLE (an exhausted batch stops paying for
+        the rest of its chunk)."""
+        if hasattr(self, "_step_budget"):
+            return self._step_budget
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step_budget(st, n):
+            def cond(c):
+                i, s = c
+                return (i < n) & jnp.any(s.phase != IDLE)
+
+            def body(c):
+                i, s = c
+                return i + jnp.int32(1), self.step(s)
+
+            return jax.lax.while_loop(cond, body, (jnp.int32(0), st))[1]
+
+        from .exec_cache import cached_compile
+        # data_digest makes the disk-cache alias content-correct:
+        # the compiled step bakes plan tables (and seed-shuffled
+        # strategy lists) in as constants, so identical shapes with
+        # different data must not share an executable.
+        program_key = ("step_budget", self.plan.shape_signature,
+                       self.plan.data_digest,
+                       self.cfg.num_dives, self.cfg.max_depth,
+                       self.cfg.hot_depth,
+                       self.cfg.fp_mode, self.cfg.fp_layout,
+                       self.cfg.fp_fixed_iters, self.cfg.fp_unroll,
+                       self.cfg.wac1_inner_cap, self.axis_name,
+                       self.cfg.enumerate_all,
+                       # Effective (post-size-gate) gather mode: the
+                       # key must distinguish programs, and a gated
+                       # "onehot" request compiles the "take" body.
+                       self.kernels.gather_mode)
+        self._step_budget = cached_compile(
+            step_budget, (self.init_state(), jnp.int32(4)), program_key,
+            verbose=True)
+        self._step_budget_jit = step_budget
+        self._step_budget_pk = program_key
+        return self._step_budget
+
+    def make_step_n(self, n: int):
+        """Fixed-chunk wrapper over the traced-budget program (all
+        chunk sizes share ONE executable)."""
+        fn = self.make_step_budget()
+        nn = jnp.int32(n)
+        return lambda st: fn(st, nn)
+
+    def step_hlo_text(self, n: int = 0):
+        """Optimized-HLO text of the compiled budget program (for the
         profiler-measured FIXPOINT/SEARCH split), or None."""
-        fn = self._step_n_cache.get(n)
+        fn = getattr(self, "_step_budget", None)
         try:
             if hasattr(fn, "as_text"):
                 return fn.as_text()
             from .exec_cache import cached_hlo_text
-            pk = getattr(self, "_step_n_pk", {}).get(n)
+            pk = getattr(self, "_step_budget_pk", None)
             if pk is not None:
                 txt = cached_hlo_text(pk)
                 if txt:
@@ -986,8 +1017,9 @@ class BatchedSolver:
             # recompile in the middle of a solve.
             if jax.devices()[0].platform != "cpu":
                 return None
-            jit_fn = getattr(self, "_step_n_jit", {}).get(n, fn)
-            return jit_fn.lower(self.init_state()).compile().as_text()
+            jit_fn = getattr(self, "_step_budget_jit", fn)
+            return jit_fn.lower(self.init_state(),
+                                jnp.int32(4)).compile().as_text()
         except Exception:
             return None
 
