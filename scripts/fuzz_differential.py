@@ -120,7 +120,10 @@ def main():
         s = BatchedSolver(tnf, EngineConfig(
             num_dives=4, subproblems_power=int(rng.integers(2, 6)),
             max_depth=0, fp_max_iters=int(rng.choice([8, 16, 10000])),
-            fp_mode=fp_mode, fp_layout=fp_layout, gather_mode=gather))
+            fp_mode=fp_mode, fp_layout=fp_layout, gather_mode=gather,
+            # EPS table axis: the precomputed dive tree must agree
+            # with the in-engine dive path on every random model.
+            use_table=bool(rng.integers(0, 2))))
         re = s.solve(timeout_s=120, chunk=8)
         solvers = [("engine", re)]
         if args.checkpoint and ro.status == "optimal" and re.nodes > 8:

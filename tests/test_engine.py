@@ -294,8 +294,9 @@ def test_checkpoint_resume(tmp_path):
     step_n = s.make_step_n(8)
     st = step_n(st)
     save_state(s, st, path)
-    st2 = load_state(s, path)
-    assert st2 is not None
+    restored = load_state(s, path)
+    assert restored is not None
+    st2, _extras = restored
     import numpy as _np
     _np.testing.assert_array_equal(jax.device_get(st.nodes),
                                    jax.device_get(st2.nodes))
@@ -414,8 +415,10 @@ def test_rebalance_ranges_unit(bench_dir):
     the root store; ranges stay disjoint."""
     from turbo_tpu.parallel.mesh import ShardedSolver, rebalance_ranges
     tnf = compile_model(parse_fzn(str(bench_dir / "test_data" / "sudoku_opt3.fzn")))
+    # use_table=False: this unit test exercises the DIVE-mode reseed
+    # (the table-mode twin lives in test_eps_table.py).
     s = ShardedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=8,
-                                        max_depth=64))
+                                        max_depth=64, use_table=False))
     D, S = 4, s.n_shards
     st = jax.tree.map(lambda x: np.array(x), jax.device_get(s.init_state()))
     per = s.num_sub_total // S
@@ -484,8 +487,9 @@ def test_sharded_checkpoint_resume(tmp_path, bench_dir):
     save_state(s.solver, st, path, num_shards=s.n_shards)
     # Shard-count mismatch is refused.
     assert load_state(s.solver, path, num_shards=s.n_shards + 1) is None
-    st2 = load_state(s.solver, path, num_shards=s.n_shards)
-    assert st2 is not None
+    restored = load_state(s.solver, path, num_shards=s.n_shards)
+    assert restored is not None
+    st2, _extras = restored
     np.testing.assert_array_equal(jax.device_get(st.nodes),
                                   jax.device_get(st2.nodes))
     r = s.solve(timeout_s=120, chunk=8, checkpoint_path=path)
@@ -583,6 +587,42 @@ solve satisfy;
     assert rh.solutions == 3
 
 
+def test_solution_ring_streams_every_solution():
+    """Per-solution streaming (gpu_dive_and_solve.hpp:100-132 parity):
+    with a sol_ring, -a emits every distinct all-singleton solution
+    through on_solution, in device order, none lost."""
+    tnf = compile_model(parse_fzn_text("""
+var 1..3: x :: output_var; var 1..3: y :: output_var;
+constraint int_lt(x, y);
+solve satisfy;
+"""))
+    cfg = EngineConfig(num_dives=4, subproblems_power=3, max_depth=64,
+                       fp_max_iters=32, enumerate_all=True,
+                       sol_ring_size=16)
+    got = []
+    r = BatchedSolver(tnf, cfg).solve(
+        timeout_s=60, stop_after_n_solutions=0,
+        on_solution=lambda lb: got.append((int(lb[0]), int(lb[1]))))
+    assert r.solutions == 3
+    assert sorted(set(got)) == [(1, 2), (1, 3), (2, 3)]
+    assert len(got) == 3
+    # Improving-solution streaming on an optimization problem (-i): the
+    # emitted objective sequence is strictly improving per lane-accept
+    # and ends at the optimum.
+    tnf2 = compile_model(parse_fzn_text("""
+var 1..9: x :: output_var; var 1..9: y;
+constraint int_lt(y, x);
+solve minimize x;
+"""))
+    cfg2 = EngineConfig(num_dives=2, subproblems_power=2, max_depth=64,
+                        fp_max_iters=32, sol_ring_size=16)
+    objs = []
+    r2 = BatchedSolver(tnf2, cfg2).solve(
+        timeout_s=60, on_solution=lambda lb: objs.append(int(lb[0])))
+    assert r2.status == "optimal" and r2.objective == 2
+    assert objs and objs[-1] == 2
+
+
 def test_shard_partition_covers_all_subproblems():
     # ADVICE r1 (high): floor split dropped num_sub_total % num_shards
     # subproblems; tiny -sub gave shards empty ranges -> false UNSAT.
@@ -596,8 +636,11 @@ def test_shard_partition_covers_all_subproblems():
     ))
     for n_shards in (3, 5, 8):
         for k in (1, 2, 5):
+            # Dive mode: counters ARE subproblem ids; ranges must tile
+            # [0, 2^k) exactly.
             s = BatchedSolver(tnf, EngineConfig(
-                num_dives=2, subproblems_power=k, max_depth=16),
+                num_dives=2, subproblems_power=k, max_depth=16,
+                use_table=False),
                 num_shards=n_shards)
             covered = set()
             limits = []
@@ -611,6 +654,22 @@ def test_shard_partition_covers_all_subproblems():
                 limits.append((base, limit))
             assert covered == set(range(s.num_sub_total)), (
                 n_shards, k, limits)
+            # Table mode: each shard's live leaves plus its dead
+            # (solved+skipped) prefixes must partition its range, and
+            # live paths across shards must be disjoint.
+            s2 = BatchedSolver(tnf, EngineConfig(
+                num_dives=2, subproblems_power=k, max_depth=16),
+                num_shards=n_shards)
+            if not s2.use_table:
+                continue
+            live_all = []
+            accounted = 0
+            for i in range(n_shards):
+                tb = s2.get_table(i)
+                live_all.extend(tb.path[:tb.n_live].tolist())
+                accounted += tb.n_live + tb.solved + tb.skipped
+            assert accounted == s2.num_sub_total, (n_shards, k)
+            assert len(live_all) == len(set(live_all))
 
 
 def test_sharded_tiny_sub_still_sat(bench_dir):
@@ -1078,7 +1137,8 @@ def test_init_state_cache_key_includes_fp_cap():
                                             fp_max_iters=cap))
         pk = ("init_state", 0, s.num_shards, s.plan.shape_signature,
               s.plan.data_digest, s.cfg.num_dives, s.cfg.max_depth,
-              s.cfg.fp_max_iters, s.k, bool(getattr(s, "has_eps", False)))
+              s.cfg.fp_max_iters, s.use_table, s.k,
+              bool(getattr(s, "has_eps", False)))
         keys.append(cache_key(pk))
         st = s.init_state()
         assert int(np.asarray(st.fp_cap)[0]) == cap
@@ -1102,8 +1162,9 @@ def test_checkpoint_version_and_fp_cap_override(tmp_path, capsys):
 
     s2 = BatchedSolver(tnf, EngineConfig(num_dives=4, subproblems_power=3,
                                          max_depth=64, fp_max_iters=9))
-    st2 = ckpt.load_state(s2, path)
-    assert st2 is not None
+    restored = ckpt.load_state(s2, path)
+    assert restored is not None
+    st2, _extras = restored
     assert int(np.asarray(st2.fp_cap)[0]) == 9
 
     with open(path, "rb") as f:

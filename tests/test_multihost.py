@@ -84,7 +84,12 @@ def test_ext_bound_prunes_like_remote_incumbent():
             return st._replace(ext_bound=jnp.full_like(st.ext_bound,
                                                        self._bound))
 
-    cfg = EngineConfig(num_dives=8, subproblems_power=5, max_depth=64)
+    # use_table=False: the multi-host architecture always runs in dive
+    # mode (MultiHostSolver forces it — a thief cannot gather another
+    # process's table), and this test injects ext_bound after init, so
+    # the table builder could not have seen it.
+    cfg = EngineConfig(num_dives=8, subproblems_power=5, max_depth=64,
+                       use_table=False)
     r1 = Injected(tnf, cfg, -1).solve(timeout_s=120, chunk=16)
     assert r1.status == "optimal" and r1.objective == -2
     r2 = Injected(tnf, cfg, -2).solve(timeout_s=120, chunk=16)

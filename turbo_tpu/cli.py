@@ -214,14 +214,15 @@ def run(cfg: Configuration) -> int:
 
     enumerate_all = tnf.obj_var < 0 and cfg.stop_after_n_solutions != 1
     arch = cfg.arch
-    if enumerate_all and arch in ("tpu", "multi"):
-        # The batched archs count solutions on-device but cannot stream
-        # each one; solns2out consumers of -a need every block printed
-        # (reference streams per solution, gpu_dive_and_solve.hpp:100-132).
-        print(f"% WARNING: -a/-n>1 on the '{arch}' arch only counts "
-              "solutions on-device; switching to the hybrid arch to "
-              "print each solution", file=sys.stderr)
-        arch = "hybrid"
+    if enumerate_all and arch == "multi":
+        # The sharded mesh counts solutions on-device but its host loop
+        # does not drain per-shard rings yet; -a needs every block
+        # printed, so route to the single-device engine (which streams
+        # through the solution ring, engine.SearchState.sol_ring).
+        print("% WARNING: -a/-n>1 on the 'multi' arch only counts "
+              "solutions on-device; using the single-device tpu arch "
+              "to stream each solution", file=sys.stderr)
+        arch = "tpu"
     num_dives = cfg.or_nodes
     if num_dives == 0:
         # -or 0 / absent: auto-size the dive batch, the TPU analog of
@@ -230,6 +231,11 @@ def run(cfg: Configuration) -> int:
         num_dives = auto_num_dives(tnf)
         if cfg.verbose:
             print(f"% auto-sized num_blocks={num_dives}", file=sys.stderr)
+    # Per-solution streaming (-a / -i) on the batched arch: size the
+    # on-device solution ring; the engine drains it every chunk.
+    want_stream = ((cfg.print_intermediate or enumerate_all)
+                   and arch == "tpu")
+    ring = min(4 * num_dives, 8192) if want_stream else 0
     econf = EngineConfig(num_dives=num_dives,
                          subproblems_power=cfg.subproblems_power,
                          subproblems_factor=cfg.subproblems_factor,
@@ -242,7 +248,8 @@ def run(cfg: Configuration) -> int:
                                   else "fixpoint"),
                          wac1_threshold=cfg.wac1_threshold,
                          disable_simplify=cfg.disable_simplify,
-                         shave=cfg.shave)
+                         shave=cfg.shave,
+                         sol_ring_size=ring)
     if arch == "multi":
         from .parallel.mesh import ShardedSolver
 
@@ -255,11 +262,19 @@ def run(cfg: Configuration) -> int:
         solver = BatchedSolver(tnf, econf)
     on_improve = None
     printed_last = [None]
-    if cfg.print_intermediate or enumerate_all:
+    extra = {}
+    if want_stream:
+        # The ring streams EVERY accepted solution in device order —
+        # strictly better -i/-a fidelity than the chunk-granular
+        # incumbent callback (which only surfaces the latest best).
+        def on_solution(lb_tnf):
+            printed_last[0] = list(lb_tnf)
+            print_solution(tnf, lb_tnf)
+        extra["on_solution"] = on_solution
+    elif cfg.print_intermediate or enumerate_all:
         def on_improve(best_lb_tnf):
             printed_last[0] = list(best_lb_tnf)
             print_solution(tnf, best_lb_tnf)
-    extra = {}
     if cfg.checkpoint_path:
         extra["checkpoint_path"] = cfg.checkpoint_path
     r = solver.solve(timeout_s=timeout_s,

@@ -32,7 +32,7 @@ from ..solver.result import EngineResult
 
 
 def rebalance_ranges(st, D: int, n_shards: int, lb0: np.ndarray,
-                     ub0: np.ndarray):
+                     ub0: np.ndarray, use_table: bool = False):
     """Host-side EPS work redistribution across shards (pure numpy).
 
     The reference's single GPU shares one grid-atomic `next_subproblem`
@@ -60,6 +60,11 @@ def rebalance_ranges(st, D: int, n_shards: int, lb0: np.ndarray,
     ub = st.ub.copy()
     root_lb = st.root_lb.copy()
     root_ub = st.root_ub.copy()
+    tab_lb = st.tab_lb.copy()
+    tab_ub = st.tab_ub.copy()
+    tab_strat = st.tab_strat.copy()
+    tab_path = st.tab_path.copy()
+    n_pad = tab_lb.shape[0] // n_shards
 
     def shard_next(s):
         return int(next_sub[s * D])
@@ -85,20 +90,44 @@ def rebalance_ranges(st, D: int, n_shards: int, lb0: np.ndarray,
         limit_d = shard_limit(donor)
         mid = limit_d - give
         sub_limit[dsl] = mid          # donor keeps [next_d, mid)
-        # Receiver: lanes take [mid, limit_d) exactly like init_state.
-        lane_sub = mid + np.arange(D, dtype=np.int32)
-        subp[sl] = lane_sub
-        phase[sl] = np.where(lane_sub < limit_d, 0, IDLE)  # DIVE=0
+        if use_table:
+            # Table mode: counters index live table rows, so the
+            # receiver also copies the donor's table and seeds its
+            # lanes straight into SOLVE from rows [mid, limit_d) —
+            # same dataflow as a device-side table refill.
+            tsl = slice(s * n_pad, (s + 1) * n_pad)
+            dtl = slice(donor * n_pad, (donor + 1) * n_pad)
+            tab_lb[tsl] = tab_lb[dtl]
+            tab_ub[tsl] = tab_ub[dtl]
+            tab_strat[tsl] = tab_strat[dtl]
+            tab_path[tsl] = tab_path[dtl]
+            rows = mid + np.arange(D, dtype=np.int64)
+            live = rows < limit_d
+            ridx = np.clip(rows, 0, n_pad - 1)
+            subp[sl] = tab_path[dtl][ridx]
+            phase[sl] = np.where(live, 1, IDLE)  # SOLVE=1
+            lb[sl] = tab_lb[dtl][ridx]
+            ub[sl] = tab_ub[dtl][ridx]
+            root_lb[sl] = tab_lb[dtl][ridx]
+            root_ub[sl] = tab_ub[dtl][ridx]
+            strat[sl] = tab_strat[dtl][ridx]
+            snap_strat[sl] = tab_strat[dtl][ridx]
+            remaining[sl] = 0
+        else:
+            # Receiver lanes take [mid, limit_d) exactly like init_state.
+            lane_sub = mid + np.arange(D, dtype=np.int32)
+            subp[sl] = lane_sub
+            phase[sl] = np.where(lane_sub < limit_d, 0, IDLE)  # DIVE=0
+            lb[sl] = lb0[None, :]
+            ub[sl] = ub0[None, :]
+            root_lb[sl] = lb0[None, :]
+            root_ub[sl] = ub0[None, :]
+            strat[sl] = 0
+            snap_strat[sl] = 0
+            remaining[sl] = st.kpow[sl]
         next_sub[sl] = min(mid + D, limit_d)
         sub_limit[sl] = limit_d
         depth[sl] = 0
-        strat[sl] = 0
-        snap_strat[sl] = 0
-        remaining[sl] = st.kpow[sl]
-        lb[sl] = lb0[None, :]
-        ub[sl] = ub0[None, :]
-        root_lb[sl] = lb0[None, :]
-        root_ub[sl] = ub0[None, :]
         moves += 1
     if not moves:
         return st, 0
@@ -106,7 +135,8 @@ def rebalance_ranges(st, D: int, n_shards: int, lb0: np.ndarray,
         phase=phase, subp=subp, next_sub=next_sub, sub_limit=sub_limit,
         depth=depth, strat=strat, snap_strat=snap_strat,
         remaining=remaining, lb=lb, ub=ub, root_lb=root_lb,
-        root_ub=root_ub), moves
+        root_ub=root_ub, tab_lb=tab_lb, tab_ub=tab_ub,
+        tab_strat=tab_strat, tab_path=tab_path), moves
 
 
 class ShardedSolver:
@@ -173,6 +203,7 @@ class ShardedSolver:
                            self.solver.cfg.fp_unroll,
                            self.solver.cfg.wac1_inner_cap, self.n_shards,
                            self.solver.cfg.enumerate_all,
+                           self.solver.use_table, self.solver.k,
                            self.solver.kernels.gather_mode)
             self._step_n_cache[n] = cached_compile(
                 jax.jit(sharded_steps, donate_argnums=0),
@@ -201,7 +232,7 @@ class ShardedSolver:
                 device_put=lambda x: jax.device_put(
                     x, NamedSharding(self.mesh, P("dives"))))
             if restored is not None:
-                st = restored
+                st, _ = restored
         last_ckpt = time.monotonic()
         step_n = self.make_step_n(chunk)
         steps = 0
@@ -259,7 +290,8 @@ class ShardedSolver:
                         st_np = jax.device_get(st)
                         st_np, moves = rebalance_ranges(
                             st_np, D, self.n_shards,
-                            self.plan.lb0, self.plan.ub0)
+                            self.plan.lb0, self.plan.ub0,
+                            use_table=self.solver.use_table)
                         if moves:
                             redistributions += moves
                             st = jax.tree.map(

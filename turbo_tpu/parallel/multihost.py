@@ -132,14 +132,29 @@ class MultiHostSolver:
             raise ValueError(
                 "enumerate_all (-a) is not supported by the multi-host "
                 "architecture; run it on a single host")
+        import dataclasses
+
+        # Cross-host steals move subproblem ranges between hosts whose
+        # EPS tables are process-local (a thief cannot gather another
+        # host's table rows); stolen ranges re-dive from the root
+        # instead, so the multi-host architecture runs in dive mode.
+        config = dataclasses.replace(config, use_table=False)
         self.pid = jax.process_index()
         self.n_hosts = jax.process_count()
         local = jax.local_devices()
         # Global shard layout: host h owns shard ids [off_h, off_h+S_h).
-        # Homogeneous hosts assumed for the offset math; heterogeneous
-        # counts would need an allgather of S here.
+        # Device counts are allgathered so heterogeneous hosts get
+        # correct offsets (VERDICT r3 item 7); the DCN snapshot pads to
+        # the largest per-host count (padded shards carry next==limit,
+        # i.e. no work, so the steal planner ignores them).
         S = len(local)
-        total_shards = self.n_hosts * S
+        from jax.experimental import multihost_utils
+        counts = np.asarray(multihost_utils.process_allgather(
+            np.array([S], dtype=np.int64))).reshape(-1)
+        self.host_shards = counts.astype(np.int64)
+        total_shards = int(counts.sum())
+        shard_offset = int(counts[:self.pid].sum())
+        self.S_max = int(counts.max())
         if config.subproblems_power <= 0:
             # The root-tree probe is wall-clock bounded, so hosts under
             # different load could derive different k and build
@@ -155,7 +170,7 @@ class MultiHostSolver:
                 np.array([k], dtype=np.int64)))[0, 0])
             config = dataclasses.replace(config, subproblems_power=k)
         self.sharded = ShardedSolver(tnf, config, devices=local,
-                                     shard_offset=self.pid * S,
+                                     shard_offset=shard_offset,
                                      total_shards=total_shards)
         self.plan = self.sharded.plan
         self.opt = self.sharded.opt
@@ -211,20 +226,23 @@ class MultiHostSolver:
             local_idle = bool((phase == IDLE).all())
             # DCN exchange:
             #   [best, idle, want_stop, n_sols, next_s..., limit_s...]
-            snap = np.empty(4 + 2 * self.S, dtype=np.int64)
+            # Fixed-size snapshot across heterogeneous hosts: pad to
+            # the largest local shard count with next==limit (no work).
+            SM = self.S_max
+            snap = np.zeros(4 + 2 * SM, dtype=np.int64)
             snap[0] = int(bbs.min())
             snap[1] = int(local_idle)
             snap[2] = int(time.monotonic() - t0 > timeout_s)
             snap[3] = int(sols.sum())
             for s in range(self.S):
                 snap[4 + s] = int(ns[s * D])
-                snap[4 + self.S + s] = int(slim[s * D])
+                snap[4 + SM + s] = int(slim[s * D])
             allsnap = self._allgather(snap)
             gbest = int(allsnap[:, 0].min())
             idle = allsnap[:, 1].astype(bool)
             total_sols = int(allsnap[:, 3].sum())
-            next_mat = allsnap[:, 4:4 + self.S]
-            limit_mat = allsnap[:, 4 + self.S:]
+            next_mat = allsnap[:, 4:4 + SM]
+            limit_mat = allsnap[:, 4 + SM:]
             if self.opt and gbest < int(np.asarray(
                     jax.device_get(st.ext_bound))[0]):
                 eb = jnp.full((self.S * D,), gbest, dtype=jnp.int32)

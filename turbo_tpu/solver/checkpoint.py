@@ -22,11 +22,15 @@ from .engine import BatchedSolver, SearchState
 #     without dropping a propagator): resuming lane state against
 #     different root bounds would remap subproblem bit-paths to
 #     different subtrees, silently breaking exhaustiveness.
-FORMAT_VERSION = 4
+# v5: SearchState gained the EPS subproblem-root table (tab_*); payload
+#     gained num_sub_total (k pins the table shape and the bit-path
+#     space) and `extras` (resplit/steal accounting freeze, ADVICE r3:
+#     a resumed run must keep reporting coarse 2^k subproblem units).
+FORMAT_VERSION = 5
 
 
 def save_state(solver: BatchedSolver, st: SearchState, path: str,
-               num_shards: int = 1):
+               num_shards: int = 1, extras: Optional[dict] = None):
     host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), st)
     payload = {
         "format": FORMAT_VERSION,
@@ -35,15 +39,19 @@ def save_state(solver: BatchedSolver, st: SearchState, path: str,
         "num_dives": solver.cfg.num_dives,
         "max_depth": solver.cfg.max_depth,
         "num_shards": num_shards,
+        "num_sub_total": solver.num_sub_total,
+        "use_table": solver.use_table,
         "state": host._asdict(),
+        "extras": dict(extras or {}),
     }
     with open(path, "wb") as f:
         pickle.dump(payload, f)
 
 
 def load_state(solver: BatchedSolver, path: str, num_shards: int = 1,
-               device_put=None) -> Optional[SearchState]:
-    """Returns the restored device state, or None on any mismatch.
+               device_put=None):
+    """Returns (restored device state, extras dict), or None on any
+    mismatch.
 
     `device_put` optionally places each leaf (used by the sharded
     solver to restore with the mesh sharding)."""
@@ -76,6 +84,10 @@ def load_state(solver: BatchedSolver, path: str, num_shards: int = 1,
             return _reject("different num_dives/max_depth config")
         if payload.get("num_shards", 1) != num_shards:
             return _reject("different shard count")
+        if payload.get("num_sub_total") != solver.num_sub_total:
+            return _reject("different EPS split (2^k)")
+        if payload.get("use_table") != solver.use_table:
+            return _reject("different table mode")
         import jax.numpy as jnp
 
         put = device_put or jnp.asarray
@@ -85,7 +97,8 @@ def load_state(solver: BatchedSolver, path: str, num_shards: int = 1,
         # pin a later cap-10000 CLI run to 16).
         fields["fp_cap"] = np.full_like(np.asarray(fields["fp_cap"]),
                                         solver.cfg.fp_max_iters)
-        return SearchState(**{k: put(np.asarray(v))
-                              for k, v in fields.items()})
+        st = SearchState(**{k: put(np.asarray(v))
+                            for k, v in fields.items()})
+        return st, dict(payload.get("extras", {}))
     except Exception as e:
         return _reject(f"{type(e).__name__}: {e}")

@@ -94,6 +94,22 @@ class SearchState(NamedTuple):
     # the max over lanes, so this cap IS the per-step sweep count on
     # unconverged workloads — the main per-node latency knob.
     fp_cap: jnp.ndarray    # (D,) int32 (replicated)
+    # EPS subproblem-root table (solver/eps_table.py), device-resident
+    # and carried (donated) through every step: refills gather a leaf
+    # row and drop the lane straight into SOLVE phase. In non-table
+    # mode these are (1, V)/(1,) placeholders. Under shard_map the
+    # row axis shards with the lanes (each shard owns its own table).
+    tab_lb: jnp.ndarray    # (n_pad, V) int32
+    tab_ub: jnp.ndarray    # (n_pad, V) int32
+    tab_strat: jnp.ndarray  # (n_pad,) int32 post-dive strategy cursor
+    tab_path: jnp.ndarray   # (n_pad,) int32 subproblem bit-path
+    # On-device solution ring (per-solution streaming for -a / -i on
+    # the batched arch; the reference's gpu arch streams each solution
+    # through a producer/consumer handshake, gpu_dive_and_solve.hpp:
+    # 100-132). Accepted solution stores (lb plane) append here; the
+    # host drains new rows each chunk. (1, V) placeholder when off.
+    sol_ring: jnp.ndarray  # (R, V) int32
+    sol_w: jnp.ndarray     # (D,) int32 total accepted count (replicated)
 
 
 @dataclasses.dataclass
@@ -156,6 +172,19 @@ class EngineConfig:
     # bounds shaved, node count identical to the digit), so the host
     # presolve cost buys nothing there — see DESIGN.md.
     shave: bool = False
+    # Solution ring size R (0 = off): device buffer for per-solution
+    # streaming (-a / -i). The host drains new rows each chunk; in
+    # enumerate mode the driver caps the chunk at R // num_dives steps
+    # so the ring can never overflow between drains.
+    sol_ring_size: int = 0
+    # Precomputed EPS subproblem-root table (solver/eps_table.py):
+    # expand the dive tree once (shared prefixes, full occupancy) and
+    # seed refills straight into SOLVE phase — eliminates the lockstep
+    # dive-replay tax (round-3 finding: ~35% of pat13's node budget).
+    # Auto-disabled for enumerate_all, fp_mode="fixed" (builder needs
+    # true fixpoints), oversized tables, and multi-host runs (stolen
+    # ranges cross table boundaries; those lanes re-dive instead).
+    use_table: bool = True
 
 
 def probe_tree_power(tnf, probe_nodes: int = 2000,
@@ -338,6 +367,24 @@ class BatchedSolver:
         self.num_sub_total = 1 << self.k
         self.opt = self.plan.is_opt
         self._strategy_tables = self._build_strategy_tables()
+        # EPS subproblem-root table gate (see EngineConfig.use_table).
+        self.use_table = (config.use_table
+                          and not config.enumerate_all
+                          and config.fp_mode in ("fixpoint", "wac1"))
+        if self.use_table:
+            from .eps_table import table_n_pad
+            budget = int(os.environ.get("TURBO_TPU_TABLE_BUDGET",
+                                        str(512 << 20)))
+            if 2 * 4 * table_n_pad(self) * self.plan.V > budget:
+                self.use_table = False
+        self._tables = {}
+
+    def get_table(self, shard_idx: int = 0):
+        """Build (once per shard) the EPS subproblem-root table."""
+        if shard_idx not in self._tables:
+            from .eps_table import build_table
+            self._tables[shard_idx] = build_table(self, shard_idx)
+        return self._tables[shard_idx]
 
     # -- strategies ---------------------------------------------------
 
@@ -408,6 +455,25 @@ class BatchedSolver:
         disk executable cache then amortizes to ~0."""
         if not hasattr(self, "_init_cache"):
             self._init_cache = {}
+        table_args = ()
+        if self.use_table:
+            tb = self.get_table(shard_idx)
+            seed = np.zeros(12, dtype=np.int64)
+            seed[0] = tb.n_live
+            seed[1:9] = (tb.nodes, tb.fails, tb.fpit, tb.solved,
+                         tb.skipped, tb.sols, int(tb.nonexh),
+                         int(tb.has_cand))
+            seed[9] = tb.cand_bound if tb.has_cand else INF
+            seed[10] = int(tb.deds)
+            seed[11] = tb.dmax
+            cand_lb = (tb.cand_lb if tb.cand_lb is not None
+                       else self.plan.lb0).astype(np.int32)
+            cand_ub = (tb.cand_ub if tb.cand_ub is not None
+                       else self.plan.ub0).astype(np.int32)
+            table_args = (jnp.asarray(tb.lb), jnp.asarray(tb.ub),
+                          jnp.asarray(tb.strat), jnp.asarray(tb.path),
+                          jnp.asarray(seed), jnp.asarray(cand_lb),
+                          jnp.asarray(cand_ub))
         if shard_idx not in self._init_cache:
             from .exec_cache import cached_compile
             # fp_max_iters is baked into the program as the fp_cap
@@ -416,14 +482,17 @@ class BatchedSolver:
             program_key = ("init_state", shard_idx, self.num_shards,
                            self.plan.shape_signature, self.plan.data_digest,
                            self.cfg.num_dives, self.cfg.max_depth,
-                           self.cfg.fp_max_iters,
+                           self.cfg.fp_max_iters, self.use_table,
                            self.k, bool(getattr(self, "has_eps", False)))
             self._init_cache[shard_idx] = cached_compile(
                 jax.jit(functools.partial(self._init_state_impl, shard_idx)),
-                (), program_key)
-        return self._init_cache[shard_idx]()
+                table_args, program_key)
+        return self._init_cache[shard_idx](*table_args)
 
-    def _init_state_impl(self, shard_idx: int = 0) -> SearchState:
+    def _init_state_impl(self, shard_idx: int = 0, tab_lb=None,
+                         tab_ub=None, tab_strat=None, tab_path=None,
+                         seed=None, cand_lb=None,
+                         cand_ub=None) -> SearchState:
         D = self.cfg.num_dives
         V = self.plan.V
         MAXD = self.cfg.max_depth
@@ -434,29 +503,97 @@ class BatchedSolver:
             # its input, so every state leaf needs its own buffer.
             return jnp.tile(base[None, :], (D, 1)).astype(I32)
 
-        lb = mat(lb0)
-        ub = mat(ub0)
-        # Static subproblem partition across shards; each shard owns a
-        # contiguous range (multi-host EPS; reference uses one global
-        # atomic counter on one GPU).
-        per = self.num_sub_total // self.num_shards
-        base = shard_idx * per
-        # The last shard absorbs the remainder so the union of ranges is
-        # exactly [0, 2^k) for ANY shard count (a floor split would drop
-        # num_sub_total % num_shards subproblems yet still claim
-        # exhaustiveness).
-        limit = (self.num_sub_total if shard_idx == self.num_shards - 1
-                 else base + per)
-        subp = base + jnp.arange(D, dtype=I32)
-        phase = jnp.where(subp < limit, DIVE, IDLE).astype(I32)
-
         def zeros():
             return jnp.zeros((D,), dtype=I32)
+
+        lb = mat(lb0)
+        ub = mat(ub0)
+        root_lb, root_ub = mat(lb0), mat(ub0)
+        best_lb, best_ub = mat(lb0), mat(ub0)
+        best_bound = jnp.full((D,), INF, dtype=I32)
+        has_best = jnp.zeros((D,), dtype=bool)
+        nodes, fails, sols, fpit = zeros(), zeros(), zeros(), zeros()
+        deds = jnp.zeros((D,), dtype=jnp.float32)
+        solved_sub, skipped_sub = zeros(), zeros()
+        nonexh = jnp.zeros((D,), dtype=bool)
+        strat, snap_strat = zeros(), zeros()
+        dmax0 = zeros()
+        if self.use_table:
+            # Lanes seed directly from the first D table leaves, in
+            # SOLVE phase; the next_sub counter indexes live table rows
+            # and sub_limit carries the (traced) live count. The build
+            # statistics are folded into lane 0's counters so the
+            # reported work includes the dive tree.
+            rows0 = jnp.arange(D, dtype=I32)
+            n_live = seed[0].astype(I32)
+            seeded = rows0 < jnp.minimum(n_live, D)
+            n_pad = tab_lb.shape[0]
+            idx0 = jnp.clip(rows0, 0, n_pad - 1)
+            lb = jnp.where(seeded[:, None], tab_lb[idx0], lb)
+            ub = jnp.where(seeded[:, None], tab_ub[idx0], ub)
+            root_lb = jnp.where(seeded[:, None], tab_lb[idx0], root_lb)
+            root_ub = jnp.where(seeded[:, None], tab_ub[idx0], root_ub)
+            strat = jnp.where(seeded, tab_strat[idx0], 0)
+            snap_strat = strat
+            subp = jnp.where(seeded, tab_path[idx0], 0)
+            phase = jnp.where(seeded, SOLVE, IDLE).astype(I32)
+            remaining = zeros()
+            next_sub = jnp.full((D,), jnp.minimum(n_live, D), dtype=I32)
+            sub_limit = jnp.full((D,), n_live, dtype=I32)
+            at0 = rows0 == 0
+            nodes = jnp.where(at0, seed[1].astype(I32), 0)
+            fails = jnp.where(at0, seed[2].astype(I32), 0)
+            fpit = jnp.where(at0, seed[3].astype(I32), 0)
+            solved_sub = jnp.where(at0, seed[4].astype(I32), 0)
+            skipped_sub = jnp.where(at0, seed[5].astype(I32), 0)
+            sols = jnp.where(at0, seed[6].astype(I32), 0)
+            nonexh = at0 & (seed[7] > 0)
+            has_cand = seed[8] > 0
+            has_best = at0 & has_cand
+            best_bound = jnp.where(at0 & has_cand,
+                                   seed[9].astype(I32), INF)
+            best_lb = jnp.where((at0 & has_cand)[:, None],
+                                cand_lb[None, :], best_lb)
+            best_ub = jnp.where((at0 & has_cand)[:, None],
+                                cand_ub[None, :], best_ub)
+            deds = jnp.where(at0, seed[10].astype(jnp.float32), 0.0)
+            dmax0 = jnp.where(at0, seed[11].astype(I32), 0)
+        else:
+            # Static subproblem partition across shards; each shard owns
+            # a contiguous range (multi-host EPS; reference uses one
+            # global atomic counter on one GPU).
+            per = self.num_sub_total // self.num_shards
+            base = shard_idx * per
+            # The last shard absorbs the remainder so the union of
+            # ranges is exactly [0, 2^k) for ANY shard count (a floor
+            # split would drop num_sub_total % num_shards subproblems
+            # yet still claim exhaustiveness).
+            limit = (self.num_sub_total
+                     if shard_idx == self.num_shards - 1 else base + per)
+            subp = (base + jnp.arange(D, dtype=I32)).astype(I32)
+            phase = jnp.where(subp < limit, DIVE, IDLE).astype(I32)
+            remaining = jnp.full((D,), self.k, dtype=I32)
+            next_sub = jnp.full((D,), min(base + D, limit), dtype=I32)
+            sub_limit = jnp.full((D,), limit, dtype=I32)
+            # Placeholder table (never gathered; see SearchState docs).
+            tab_lb = lb0[None, :]
+            tab_ub = ub0[None, :]
+            tab_strat = jnp.zeros((1,), dtype=I32)
+            tab_path = jnp.zeros((1,), dtype=I32)
+        R = max(1, self.cfg.sol_ring_size)
+        sol_ring = jnp.zeros((R, V), dtype=I32)
+        sol_w = zeros()
+        if self.use_table and self.cfg.sol_ring_size > 0:
+            # A solution found during the table build streams too.
+            had = seed[8] > 0
+            sol_ring = jnp.where(
+                (jnp.arange(R) == 0)[:, None] & had,
+                cand_lb[None, :], sol_ring)
+            sol_w = jnp.full((D,), had.astype(I32), dtype=I32)
         return SearchState(
-            lb=lb, ub=ub, root_lb=mat(lb0), root_ub=mat(ub0),
-            best_lb=mat(lb0), best_ub=mat(ub0),
-            best_bound=jnp.full((D,), INF, dtype=I32),
-            has_best=jnp.zeros((D,), dtype=bool),
+            lb=lb, ub=ub, root_lb=root_lb, root_ub=root_ub,
+            best_lb=best_lb, best_ub=best_ub,
+            best_bound=best_bound, has_best=has_best,
             dec_var=jnp.zeros((D, MAXD), dtype=I32),
             dec_l0=jnp.zeros((D, MAXD), dtype=I32),
             dec_u0=jnp.zeros((D, MAXD), dtype=I32),
@@ -465,24 +602,29 @@ class BatchedSolver:
             dec_rope1=jnp.zeros((D, MAXD), dtype=I32),
             dec_cur=jnp.zeros((D, MAXD), dtype=I32),
             depth=zeros(), phase=phase,
-            remaining=jnp.full((D,), self.k, dtype=I32),
+            remaining=remaining,
             subp=subp.astype(I32),
-            strat=zeros(), snap_strat=zeros(),
-            next_sub=jnp.full((D,), min(base + D, limit), dtype=I32),
-            nonexh=jnp.zeros((D,), dtype=bool),
-            nodes=zeros(), fails=zeros(), sols=zeros(), fpit=zeros(),
-            deds=jnp.zeros((D,), dtype=jnp.float32),
-            dmax=zeros(), solved_sub=zeros(), skipped_sub=zeros(),
+            strat=strat, snap_strat=snap_strat,
+            next_sub=next_sub,
+            nonexh=nonexh,
+            nodes=nodes, fails=fails, sols=sols, fpit=fpit,
+            deds=deds,
+            dmax=dmax0, solved_sub=solved_sub, skipped_sub=skipped_sub,
             obj=jnp.full((D,), self.plan.obj, dtype=I32),
             is_opt=jnp.full((D,), bool(self.opt)),
             kpow=jnp.full((D,), self.k, dtype=I32),
-            sub_limit=jnp.full((D,), limit, dtype=I32),
+            sub_limit=sub_limit,
             pscale=jnp.full((D,), float(self.plan.num_real_props),
                             dtype=jnp.float32),
             eps_strat=jnp.full((D,), int(getattr(self, "has_eps", False)),
                                dtype=I32),
             ext_bound=jnp.full((D,), INF, dtype=I32),
             fp_cap=jnp.full((D,), self.cfg.fp_max_iters, dtype=I32),
+            tab_lb=jnp.asarray(tab_lb, dtype=I32),
+            tab_ub=jnp.asarray(tab_ub, dtype=I32),
+            tab_strat=jnp.asarray(tab_strat, dtype=I32),
+            tab_path=jnp.asarray(tab_path, dtype=I32),
+            sol_ring=sol_ring, sol_w=sol_w,
         )
 
     # -- the step function -------------------------------------------
@@ -583,6 +725,20 @@ class BatchedSolver:
             impr, jnp.where(is_opt, lb[:, obj], 0), best_bound)
         has_best = st.has_best | impr
         sols = st.sols + impr.astype(I32)
+        if cfg.sol_ring_size > 0:
+            # Append accepted solution stores to the ring (gpu arch
+            # streaming parity, gpu_dive_and_solve.hpp:100-132). Lanes
+            # get distinct slots via the prefix count; non-writers
+            # scatter to index R, which mode="drop" discards.
+            R = cfg.sol_ring_size
+            w0 = st.sol_w[0]
+            ridx = jnp.where(impr,
+                             (w0 + jnp.cumsum(impr.astype(I32)) - 1) % R,
+                             R)
+            sol_ring = st.sol_ring.at[ridx].set(lb, mode="drop")
+            sol_w = st.sol_w + impr.sum().astype(I32)
+        else:
+            sol_ring, sol_w = st.sol_ring, st.sol_w
         no_split = act & ~leaf & ~found
         # No splittable var: if some unfixed (necessarily unbounded) var
         # remains, search is incomplete (reference: exhaustive=false,
@@ -731,17 +887,40 @@ class BatchedSolver:
         havework = want & (newidx < shard_limit)
         next_sub = jnp.minimum(next_sub + want.sum().astype(I32), shard_limit)
 
-        phase = jnp.where(want, jnp.where(havework, DIVE, IDLE), phase)
         refill = havework
         next_sub = jnp.full((D,), next_sub, dtype=I32)
-        lb0 = jnp.asarray(self.plan.lb0)
-        ub0 = jnp.asarray(self.plan.ub0)
-        lb = jnp.where(refill[:, None], lb0[None, :], lb)
-        ub = jnp.where(refill[:, None], ub0[None, :], ub)
-        depth = jnp.where(refill, 0, depth)
-        strat = jnp.where(refill, 0, strat)
-        remaining = jnp.where(refill, st.kpow, remaining)
-        subp = jnp.where(refill, newidx, st.subp)
+        if self.use_table:
+            # Table refill: gather the leaf row and enter SOLVE phase
+            # directly (no dive replay; see solver/eps_table.py). The
+            # counter indexes live table rows; subp carries the leaf's
+            # real bit-path so the tail resplit keeps working.
+            phase = jnp.where(want, jnp.where(havework, SOLVE, IDLE),
+                              phase)
+            n_pad = st.tab_lb.shape[0]
+            idxc = jnp.clip(newidx, 0, n_pad - 1)
+            tlb = st.tab_lb[idxc]
+            tub = st.tab_ub[idxc]
+            lb = jnp.where(refill[:, None], tlb, lb)
+            ub = jnp.where(refill[:, None], tub, ub)
+            root_lb = jnp.where(refill[:, None], tlb, root_lb)
+            root_ub = jnp.where(refill[:, None], tub, root_ub)
+            depth = jnp.where(refill, 0, depth)
+            tstr = st.tab_strat[idxc]
+            strat = jnp.where(refill, tstr, strat)
+            snap_strat = jnp.where(refill, tstr, snap_strat)
+            remaining = jnp.where(refill, 0, remaining)
+            subp = jnp.where(refill, st.tab_path[idxc], st.subp)
+        else:
+            phase = jnp.where(want, jnp.where(havework, DIVE, IDLE),
+                              phase)
+            lb0 = jnp.asarray(self.plan.lb0)
+            ub0 = jnp.asarray(self.plan.ub0)
+            lb = jnp.where(refill[:, None], lb0[None, :], lb)
+            ub = jnp.where(refill[:, None], ub0[None, :], ub)
+            depth = jnp.where(refill, 0, depth)
+            strat = jnp.where(refill, 0, strat)
+            remaining = jnp.where(refill, st.kpow, remaining)
+            subp = jnp.where(refill, newidx, st.subp)
 
         return SearchState(
             lb=lb, ub=ub, root_lb=root_lb, root_ub=root_ub,
@@ -755,7 +934,9 @@ class BatchedSolver:
             skipped_sub=skipped_sub, obj=st.obj, is_opt=st.is_opt,
             kpow=st.kpow, sub_limit=st.sub_limit, pscale=st.pscale,
             eps_strat=st.eps_strat, ext_bound=st.ext_bound,
-            fp_cap=st.fp_cap)
+            fp_cap=st.fp_cap, tab_lb=st.tab_lb, tab_ub=st.tab_ub,
+            tab_strat=st.tab_strat, tab_path=st.tab_path,
+            sol_ring=sol_ring, sol_w=sol_w)
 
     # -- host driver --------------------------------------------------
 
@@ -822,6 +1003,24 @@ class BatchedSolver:
         out["root_ub"][:] = ub0
         host = host._replace(**out)
         return jax.tree.map(jnp.asarray, host), len(pairs)
+
+    def _open_branch_counter(self):
+        """Tiny compiled program: number of open right branches across
+        SOLVE-phase stacks — the steal gate's cheap precheck."""
+        if not hasattr(self, "_open_cnt_fn"):
+            def cnt(dec_cur, depth, phase):
+                live = ((phase == SOLVE)[:, None]
+                        & (jax.lax.broadcasted_iota(I32, dec_cur.shape, 1)
+                           < depth[:, None]))
+                return ((dec_cur == 0) & live).sum()
+
+            from .exec_cache import cached_compile
+            D, MAXD = self.cfg.num_dives, self.cfg.max_depth
+            ex = (jnp.zeros((D, MAXD), dtype=I32),
+                  jnp.zeros((D,), dtype=I32), jnp.zeros((D,), dtype=I32))
+            self._open_cnt_fn = cached_compile(
+                jax.jit(cnt), ex, ("open_cnt", D, MAXD))
+        return self._open_cnt_fn
 
     def _steal_open_branches(self, st, phase):
         """Post-drain work stealing from decision stacks.
@@ -966,7 +1165,11 @@ class BatchedSolver:
                 i, s = c
                 return i + jnp.int32(1), self.step(s)
 
-            return jax.lax.while_loop(cond, body, (jnp.int32(0), st))[1]
+            # Return the executed-step counter too: the loop early-exits
+            # on an all-IDLE batch, so `chunk` alone overcounts steps
+            # (ADVICE r3: max_steps and per-step stats were skewed).
+            i, st2 = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+            return st2, i
 
         from .exec_cache import cached_compile
         # data_digest makes the disk-cache alias content-correct:
@@ -981,6 +1184,9 @@ class BatchedSolver:
                        self.cfg.fp_fixed_iters, self.cfg.fp_unroll,
                        self.cfg.wac1_inner_cap, self.axis_name,
                        self.cfg.enumerate_all,
+                       # Table mode changes both the refill dataflow and
+                       # the state SHAPE (n_pad = f(k, shards)).
+                       self.use_table, self.k, self.num_shards,
                        # Effective (post-size-gate) gather mode: the
                        # key must distinguish programs, and a gated
                        # "onehot" request compiles the "take" body.
@@ -995,6 +1201,13 @@ class BatchedSolver:
     def make_step_n(self, n: int):
         """Fixed-chunk wrapper over the traced-budget program (all
         chunk sizes share ONE executable)."""
+        fn = self.make_step_budget()
+        nn = jnp.int32(n)
+        return lambda st: fn(st, nn)[0]
+
+    def make_step_counted(self, n: int):
+        """Like make_step_n but also returns the executed-step count
+        (the budget loop early-exits on an all-IDLE batch)."""
         fn = self.make_step_budget()
         nn = jnp.int32(n)
         return lambda st: fn(st, nn)
@@ -1026,11 +1239,18 @@ class BatchedSolver:
     def solve(self, timeout_s: float = 1e18, chunk: int = 16,
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
               node_limit: int = 0, verbose: bool = False, on_improve=None,
+              on_solution=None,
               checkpoint_path: str = "", checkpoint_every_s: float = 60.0):
         """Single-device host loop. Returns an EngineResult.
 
         on_improve(best_lb_tnf_ids): called whenever the global
         incumbent improves (for -i intermediate solution printing).
+        on_solution(lb_tnf_ids): with cfg.sol_ring_size > 0, called for
+        EVERY accepted solution, in device order, at chunk latency —
+        the batched-arch analog of the reference gpu arch's
+        per-solution device->host stream (gpu_dive_and_solve.hpp:
+        100-132). In enumerate mode the chunk is capped so the ring
+        cannot overflow between drains.
         """
         from .result import EngineResult  # local import to avoid cycle
         from .timers import PhaseTimers
@@ -1042,12 +1262,29 @@ class BatchedSolver:
         st = self.init_state()
         jax.block_until_ready(st.lb)
         timers.transfer_c2g = time.monotonic() - tt
+        # Table-build wall time counts against the solve budget (the
+        # reference's dive work runs inside solveTime; excluding the
+        # precomputed dive tree would flatter the 60 s regression).
+        dive_dur = sum(t.build_time
+                       for t in getattr(self, "_tables", {}).values())
+        resplit_rounds = 0
+        resplit_base = None
+        steal_rounds = 0
         if checkpoint_path:
             from .checkpoint import load_state
             restored = load_state(self, checkpoint_path)
             if restored is not None:
-                st = restored
-        step_n = self.make_step_n(chunk)
+                st, extras = restored
+                resplit_base = extras.get("resplit_base")
+                resplit_rounds = extras.get("resplit_rounds", 0)
+                steal_rounds = extras.get("steal_rounds", 0)
+        ring = self.cfg.sol_ring_size
+        if ring > 0 and self.cfg.enumerate_all:
+            # Cap the chunk so at most `ring` solutions (D per step)
+            # can land between drains — enumeration must not lose any.
+            chunk = max(1, min(chunk, ring // max(self.cfg.num_dives, 1)))
+        ring_drained = 0
+        step_n = self.make_step_counted(chunk)
         steps = 0
         stopped = False
         first_call = True
@@ -1057,28 +1294,27 @@ class BatchedSolver:
         best_seen = None
         best_obj_time = 0.0
         last_best = INF + 1
-        resplit_rounds = 0
-        resplit_base = None
-        steal_rounds = 0
         last_steal = 0.0
+        steal_wait = 1.0
         while True:
             td = time.monotonic()
-            st = step_n(st)
+            st, ndone = step_n(st)
             jax.block_until_ready(st.phase)
             dispatch_dur = time.monotonic() - td
-            steps += chunk
             warmup = first_call
             if first_call:
-                # Exclude one-time XLA compile/load from the solve budget
-                # (the reference's initTime/solveTime split).
+                # Exclude one-time XLA compile/load from the solve
+                # budget (the reference's initTime/solveTime split) but
+                # keep the table build inside it.
                 first_call = False
-                t0 = time.monotonic()
+                t0 = time.monotonic() - dive_dur
             tg = time.monotonic()
             # One transfer per chunk: the relay has a ~2ms floor per
             # device round trip, so fetch all host-loop inputs at once.
-            phase, sols, fpit, bbs, nsub, slim = jax.device_get(
+            phase, sols, fpit, bbs, nsub, slim, ndone_v = jax.device_get(
                 (st.phase, st.sols, st.fpit, st.best_bound,
-                 st.next_sub, st.sub_limit))
+                 st.next_sub, st.sub_limit, ndone))
+            steps += int(ndone_v)
             fetch_dur = time.monotonic() - tg
             # On the axon relay, block_until_ready on a *deserialized*
             # executable's outputs returns immediately; the real wait
@@ -1086,8 +1322,9 @@ class BatchedSolver:
             # transfer allowance back to device time.
             device_dur = dispatch_dur + max(0.0, fetch_dur - 0.01)
             timers.transfer_g2c += min(fetch_dur, 0.01)
-            timers.record_chunk(device_dur, int(fpit.sum()), phase, chunk,
-                                time.monotonic() - t0, measured=not warmup)
+            timers.record_chunk(device_dur, int(fpit.sum()), phase,
+                                int(ndone_v), time.monotonic() - t0,
+                                measured=not warmup)
             # One-shot profiler measurement of the FIXPOINT/SEARCH
             # split (statistics.hpp:83-130): the profiled chunks are
             # real solve progress, not replays, so the only cost is
@@ -1103,25 +1340,41 @@ class BatchedSolver:
                     def _profiled_chunk():
                         nonlocal st, steps
                         td2 = time.monotonic()
-                        st = step_n(st)
+                        st, nd2 = step_n(st)
                         jax.block_until_ready(st.phase)
-                        steps += chunk
-                        fp2 = jax.device_get(st.fpit)
+                        fp2, nd2v = jax.device_get((st.fpit, nd2))
+                        steps += int(nd2v)
                         timers.record_chunk(
                             time.monotonic() - td2, int(fp2.sum()),
-                            jax.device_get(st.phase), chunk,
+                            jax.device_get(st.phase), int(nd2v),
                             time.monotonic() - t0)
 
                     frac = profile_split.measure_fixpoint_fraction(
                         _profiled_chunk, hlo)
                     if frac is not None:
                         timers.measured_fix_frac = frac
-                    # The profiled chunk advanced st; refresh the
-                    # host-loop snapshot or the resplit below could
+                    # The profiled chunk advanced st; refresh the FULL
+                    # host-loop snapshot (incl. the incumbent, which the
+                    # verbose trace prints) or the resplit below could
                     # refine subproblems that just completed (double-
                     # counting them in the coarse accounting).
-                    phase, sols, nsub, slim = jax.device_get(
-                        (st.phase, st.sols, st.next_sub, st.sub_limit))
+                    phase, sols, bbs, nsub, slim = jax.device_get(
+                        (st.phase, st.sols, st.best_bound, st.next_sub,
+                         st.sub_limit))
+            if ring > 0 and on_solution is not None:
+                cur = int(jax.device_get(st.sol_w)[0])
+                if not self.opt and stop_after_n_solutions > 0:
+                    cur = min(cur, stop_after_n_solutions)
+                if cur > ring_drained:
+                    if cur - ring_drained > ring:
+                        print(f"% warning: solution ring overflow; "
+                              f"{cur - ring_drained - ring} solutions "
+                              f"not streamed", flush=True)
+                        ring_drained = cur - ring
+                    rows = jax.device_get(st.sol_ring)
+                    for si in range(ring_drained, cur):
+                        on_solution(self.plan.store_to_tnf(rows[si % ring]))
+                    ring_drained = cur
             bbm = int(bbs.min())
             if on_improve is not None and bbm < last_best:
                 last_best = bbm
@@ -1154,7 +1407,7 @@ class BatchedSolver:
                     and not (phase == IDLE).all()
                     and not self.cfg.enumerate_all
                     and timeout_s - (time.monotonic() - t0) > 2.0
-                    and time.monotonic() - last_steal > 1.0):
+                    and time.monotonic() - last_steal > steal_wait):
                 last_steal = time.monotonic()
                 def _freeze_accounting(n_coarse):
                     nonlocal resplit_base
@@ -1168,13 +1421,22 @@ class BatchedSolver:
                             (st.solved_sub, st.skipped_sub))
                         resplit_base = (int(solved0.sum()),
                                         int(skipped0.sum()), n_coarse)
-                n_out = len(np.unique(jax.device_get(
-                    st.subp)[np.asarray(phase) != IDLE]))
-                res3 = self._steal_open_branches(st, np.asarray(phase))
+                # Cheap precheck (ADVICE r3): a device-side open-branch
+                # count gates the full-state fetch; stragglers with
+                # closed stacks cost one scalar round trip, not a
+                # 100+MB relay fetch per second.
+                n_open = int(jax.device_get(self._open_branch_counter()(
+                    st.dec_cur, st.depth, st.phase)))
+                res3 = None
+                if n_open > 0:
+                    n_out = len(np.unique(jax.device_get(
+                        st.subp)[np.asarray(phase) != IDLE]))
+                    res3 = self._steal_open_branches(st, np.asarray(phase))
                 if res3 is not None:
                     _freeze_accounting(n_out)
                     st, n_steals = res3
                     steal_rounds += 1
+                    steal_wait = 1.0
                     if verbose:
                         print(f"% stack steal #{steal_rounds}: "
                               f"{n_steals} open branches reseeded")
@@ -1184,16 +1446,27 @@ class BatchedSolver:
                         st, n_coarse = res2
                         _freeze_accounting(n_coarse)
                         resplit_rounds += 1
+                        steal_wait = 1.0
                         if verbose:
                             print(f"% tail resplit #{resplit_rounds}: "
                                   f"{n_coarse} stragglers refined")
+                    else:
+                        steal_wait = min(steal_wait * 2, 8.0)
+                else:
+                    # Nothing to steal or refine this round: back off
+                    # exponentially so the straggler's chunks are not
+                    # starved by retry fetches (ADVICE r3).
+                    steal_wait = min(steal_wait * 2, 8.0)
             if node_limit and int(jax.device_get(st.nodes.sum())) >= node_limit:
                 stopped = True
                 break
             if checkpoint_path and \
                     time.monotonic() - last_ckpt > checkpoint_every_s:
                 from .checkpoint import save_state
-                save_state(self, st, checkpoint_path)
+                save_state(self, st, checkpoint_path, extras={
+                    "resplit_base": resplit_base,
+                    "resplit_rounds": resplit_rounds,
+                    "steal_rounds": steal_rounds})
                 last_ckpt = time.monotonic()
             if verbose:
                 # Occupancy trace: per-chunk wall time, phase histogram
@@ -1213,7 +1486,10 @@ class BatchedSolver:
                       flush=True)
         if checkpoint_path and stopped:
             from .checkpoint import save_state
-            save_state(self, st, checkpoint_path)
+            save_state(self, st, checkpoint_path, extras={
+                "resplit_base": resplit_base,
+                "resplit_rounds": resplit_rounds,
+                "steal_rounds": steal_rounds})
         res = EngineResult.from_state(self, st, stopped,
                                        time.monotonic() - t0)
         if resplit_base is not None:
@@ -1228,4 +1504,7 @@ class BatchedSolver:
                                        or 0) + resplit_rounds + steal_rounds
         res.best_obj_time = best_obj_time
         timers.fill_result(res, res.solve_time)
+        # Precomputed dive-tree build (host wall time): the reference's
+        # DIVE timer analog for the table path.
+        res.dive_time += dive_dur
         return res
