@@ -35,7 +35,30 @@ def main():
     ap.add_argument("--out", default="/tmp/bench_big.jsonl")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
+    ap.add_argument("--compare",
+                    default=os.path.join(REPO, "benchmarks",
+                                         "bench_big_tpu_r3.jsonl"),
+                    help="prior-round jsonl: flag search-quality "
+                         "regressions by comparing the bound reached "
+                         "at equal wall time (VERDICT r3 item 9), not "
+                         "just nodes/s")
     args = ap.parse_args()
+
+    baselines = {}
+    if args.compare and os.path.exists(args.compare):
+        for line in open(args.compare):
+            try:
+                r = json.loads(line)
+                baselines[r.get("instance")] = r
+            except Exception:
+                pass
+
+    def bound_at(traj, t):
+        b = None
+        for tt, bb in traj:
+            if tt <= t:
+                b = bb
+        return b
 
     import jax
     if args.platform:
@@ -109,6 +132,22 @@ def main():
                 "solutions": int(np.asarray(got[4]).sum()),
                 "trajectory": traj,
             })
+            base = baselines.get(row["instance"])
+            if base and base.get("trajectory") and traj:
+                t_cmp = min(traj[-1][0], base["trajectory"][-1][0])
+                ours = bound_at(traj, t_cmp)
+                prev = bound_at(base["trajectory"], t_cmp)
+                if ours is not None and prev is not None:
+                    row["t_cmp_s"] = t_cmp
+                    row["bound_at_t"] = ours
+                    row["baseline_bound_at_t"] = prev
+                    # Minimization: a regression is a clearly WORSE
+                    # (higher) bound at equal wall time.
+                    margin = max(1.0, 0.02 * abs(prev))
+                    row["bound_regressed"] = bool(ours > prev + margin)
+                    if row["bound_regressed"]:
+                        log(f"{name}: BOUND REGRESSION vs baseline: "
+                            f"{ours} > {prev} @ {t_cmp}s")
         except Exception as e:
             import traceback
             row["error"] = f"{type(e).__name__}: {e}"

@@ -412,7 +412,18 @@ class BatchedSolver:
         s_ids, s_vo, s_valo = self._strategy_tables
         founds, vars_ = [], []
         big = jnp.iinfo(jnp.int32).max
+        # The strategy list is padded to a power of two with REFERENCES
+        # to the last strategy (plan.py); compute each distinct
+        # strategy once and alias the duplicates (pat13's padding
+        # otherwise doubles the largest strategy's select work).
+        dedup = {}
         for si, ids in enumerate(s_ids):
+            skey = id(self.plan.strategies[si])
+            if skey in dedup:
+                f, v = dedup[skey]
+                founds.append(f)
+                vars_.append(v)
+                continue
             l = lb[:, ids]
             u = ub[:, ids]
             ok = (l < u) & (l > NINF) & (u < INF)
@@ -423,6 +434,7 @@ class BatchedSolver:
             pos = jnp.argmin(jnp.where(ok, key, big), axis=1)
             founds.append(ok.any(axis=1))
             vars_.append(ids[pos])
+            dedup[skey] = (founds[-1], vars_[-1])
         found_s = jnp.stack(founds, axis=1)    # (D, S)
         var_s = jnp.stack(vars_, axis=1)
         valo_s = jnp.broadcast_to(s_valo[None, :], found_s.shape)

@@ -86,21 +86,18 @@ def table_n_pad(solver) -> int:
 
 
 def _make_programs(solver):
-    """Three cached programs: root planes, one dive level, leaf embed."""
+    """ONE cached program: the dive level. Cold compiles through the
+    TPU relay cost minutes per program, so the build keeps its device
+    surface minimal: root planes arrive by host transfer and the final
+    leaf embed runs in numpy (build_table)."""
     if getattr(solver, "_tbl_programs", None) is not None:
         return solver._tbl_programs
-    import functools
 
     from .exec_cache import cached_compile
 
     plan, kernels, cfg = solver.plan, solver.kernels, solver.cfg
     W, V = cfg.num_dives, plan.V
     obj = plan.obj
-
-    def root_planes():
-        lb = jnp.tile(jnp.asarray(plan.lb0)[None, :], (W, 1))
-        ub = jnp.tile(jnp.asarray(plan.ub0)[None, :], (W, 1))
-        return lb, ub
 
     def _embed(lb_par, ub_par, strat_par, var_par, c0l, c0u, c1l, c1u,
                pidx, pbit):
@@ -135,23 +132,14 @@ def _make_programs(solver):
         return (lb2, ub2, strat2, var2, d0l, d0u, d1l, d1u,
                 bot, ent, found, iters, objlb)
 
-    def embed_leaf(lb_par, ub_par, strat_par, var_par, c0l, c0u, c1l,
-                   c1u, pidx, pbit):
-        return _embed(lb_par, ub_par, strat_par, var_par,
-                      c0l, c0u, c1l, c1u, pidx, pbit)
-
     sig = (plan.shape_signature, plan.data_digest, W,
            cfg.fp_mode, cfg.wac1_inner_cap, kernels.gather_mode)
     exW = jnp.zeros((W, V), dtype=I32)
     exw = jnp.zeros((W,), dtype=I32)
     ex_args = (exW, exW, exw, exw, exw, exw, exw, exw, exw, exw)
     progs = {
-        "root": cached_compile(jax.jit(root_planes), (),
-                               ("tbl_root", sig)),
         "dive": cached_compile(jax.jit(dive_level), ex_args,
                                ("tbl_dive", sig), verbose=True),
-        "leaf": cached_compile(jax.jit(embed_leaf), ex_args,
-                               ("tbl_leaf", sig)),
     }
     solver._tbl_programs = progs
     return progs
@@ -240,8 +228,10 @@ def build_table(solver, shard_idx: int = 0) -> SubTable:
         return _Chunk(dev, np.asarray(keep_rows, dtype=np.int64),
                       np.asarray(keep_paths, dtype=np.int64))
 
-    # Level 0: the root.
-    lb_r, ub_r = progs["root"]()
+    # Level 0: the root (host transfer; no dedicated device program).
+    V = plan.V
+    lb_r = jnp.asarray(np.tile(plan.lb0[None, :], (W, 1)).astype(np.int32))
+    ub_r = jnp.asarray(np.tile(plan.ub0[None, :], (W, 1)).astype(np.int32))
     z = jnp.zeros((W,), dtype=I32)
     neu0l = jnp.full((W,), NINF, dtype=I32)
     neu0u = jnp.full((W,), INF, dtype=I32)
@@ -283,21 +273,36 @@ def build_table(solver, shard_idx: int = 0) -> SubTable:
         if not parents:
             break
 
-    # Leaf level k: embed only (the lane's first step propagates).
+    # Leaf level k: embed-only, done host-side in numpy (the lane's
+    # first step propagates the leaf anyway, and skipping a dedicated
+    # device program saves a minutes-long relay compile per shape).
     leaf_lb, leaf_ub, leaf_st, leaf_paths = [], [], [], []
-    if parents:
-        leaves = expand(k, lambda ch, pidx, pbit: progs["leaf"](
-            ch.lb, ch.ub, ch.strat, ch.var, ch.c0l, ch.c0u, ch.c1l,
-            ch.c1u, pidx, pbit))
-        for (lb3, ub3, st3), rows, paths in leaves:
-            lbh, ubh, sth = (np.asarray(x) for x in
-                             jax.device_get((lb3, ub3, st3)))
-            leaf_lb.append(lbh[rows])
-            leaf_ub.append(ubh[rows])
-            leaf_st.append(sth[rows])
-            leaf_paths.append(paths)
+    for ch in parents:
+        if not len(ch.rows):
+            continue
+        lbh, ubh, sth, vrh, c0lh, c0uh, c1lh, c1uh = (
+            np.asarray(x) for x in jax.device_get(
+                (ch.lb, ch.ub, ch.strat, ch.var,
+                 ch.c0l, ch.c0u, ch.c1l, ch.c1u)))
+        for bit in (0, 1):
+            cps = ch.paths * 2 + bit
+            inr = (cps >= base) & (cps < limit)
+            rs = ch.rows[inr]
+            if not len(rs):
+                continue
+            lbn = lbh[rs].copy()
+            ubn = ubh[rs].copy()
+            v = vrh[rs]
+            cl = (c1lh if bit else c0lh)[rs]
+            cu = (c1uh if bit else c0uh)[rs]
+            ar = np.arange(len(rs))
+            lbn[ar, v] = np.maximum(lbn[ar, v], cl)
+            ubn[ar, v] = np.minimum(ubn[ar, v], cu)
+            leaf_lb.append(lbn)
+            leaf_ub.append(ubn)
+            leaf_st.append(sth[rs])
+            leaf_paths.append(cps[inr])
 
-    V = plan.V
     n_pad = acc.n_pad
     if leaf_lb:
         tlb = np.concatenate(leaf_lb, axis=0).astype(np.int32)
@@ -309,6 +314,11 @@ def build_table(solver, shard_idx: int = 0) -> SubTable:
         tub = np.zeros((0, V), dtype=np.int32)
         tst = np.zeros((0,), dtype=np.int32)
         tpa = np.zeros((0,), dtype=np.int32)
+    if len(tlb):
+        # Deterministic live ordering: sort leaves by bit-path (chunk
+        # emission order interleaves left/right children).
+        order = np.argsort(tpa, kind="stable")
+        tlb, tub, tst, tpa = tlb[order], tub[order], tst[order], tpa[order]
     n_live = len(tlb)
     pad = n_pad - n_live
     if pad > 0:

@@ -36,7 +36,7 @@ def _engine_code_hash() -> str:
         h = hashlib.sha256()
         base = os.path.dirname(os.path.abspath(__file__))
         for mod in ("engine.py", "propagate_jax.py", "plan.py",
-                    "exec_cache.py"):
+                    "exec_cache.py", "eps_table.py"):
             try:
                 with open(os.path.join(base, mod), "rb") as f:
                     h.update(f.read())
