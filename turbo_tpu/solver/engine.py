@@ -1296,7 +1296,9 @@ class BatchedSolver:
             # can land between drains — enumeration must not lose any.
             chunk = max(1, min(chunk, ring // max(self.cfg.num_dives, 1)))
         ring_drained = 0
-        step_n = self.make_step_counted(chunk)
+        step_fn = self.make_step_budget()
+        cur_chunk = chunk
+        step_n = lambda s: step_fn(s, jnp.int32(cur_chunk))
         steps = 0
         stopped = False
         first_call = True
@@ -1405,6 +1407,16 @@ class BatchedSolver:
             if time.monotonic() - t0 > timeout_s or steps >= max_steps:
                 stopped = True
                 break
+            # Adapt the chunk to the remaining budget: a SOLVE-phase
+            # step can cost ~1 s at D=1024 on big-P instances, so a
+            # fixed 64-step chunk overshoots a 60 s proof budget by 30%+
+            # in one device call. The budget program takes its trip
+            # count as a TRACED scalar, so resizing costs no recompile.
+            if not warmup and int(ndone_v) > 0 and timeout_s < 1e17:
+                step_cost = device_dur / int(ndone_v)
+                remaining = timeout_s - (time.monotonic() - t0)
+                cur_chunk = int(max(1, min(
+                    chunk, remaining / max(step_cost, 1e-9))))
             # EPS tail: once the range is drained, idle lanes can only
             # get work from the stragglers. Stack stealing first (no
             # re-exploration); resplit as the fallback when stragglers

@@ -160,7 +160,6 @@ class _Chunk:
 
 def build_table(solver, shard_idx: int = 0) -> SubTable:
     """Expand the shard's dive tree and return its leaf table."""
-    t_start = time.monotonic()
     cfg, plan = solver.cfg, solver.plan
     W = cfg.num_dives
     k = solver.k
@@ -169,7 +168,14 @@ def build_table(solver, shard_idx: int = 0) -> SubTable:
     base = shard_idx * per
     limit = (total if shard_idx == solver.num_shards - 1
              else min(base + per, total))
+    # Compile (or cache-load) the dive-level program BEFORE starting
+    # the build clock: build_time is charged against the solve budget
+    # (the reference's dive work runs inside solveTime) but XLA compile
+    # belongs to initTime — a cold relay compile inside the timed
+    # region shifted t0 back by minutes and instantly blew the 60 s
+    # regression budget (round-4 chip finding).
     progs = _make_programs(solver)
+    t_start = time.monotonic()
     eps_skip = 1 if getattr(solver, "has_eps", False) else 0
     pscale = float(plan.num_real_props)
     is_opt = bool(plan.is_opt)
