@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--instance", default=(
         "/root/reference/benchmarks/example_wordpress7_500.fzn"))
     ap.add_argument("--dives", type=int, default=256)
+    ap.add_argument("--sub", type=int, default=14,
+                    help="subproblems power (match the proof config "
+                         "under test; 14 was the round-2 default)")
     ap.add_argument("--measure-s", type=float, default=45.0)
     ap.add_argument("--fp-cap", type=int, default=16)
     ap.add_argument("--variants", default=(
@@ -79,7 +82,7 @@ def main():
             import jax.numpy as jnp
             t0 = time.monotonic()
             solver = BatchedSolver(tnf, EngineConfig(
-                num_dives=args.dives, subproblems_power=14,
+                num_dives=args.dives, subproblems_power=args.sub,
                 max_depth=maxd, fp_max_iters=args.fp_cap,
                 fp_mode=mode_cfg, fp_layout=layout,
                 fp_fixed_iters=fixed_iters, gather_mode=gather))

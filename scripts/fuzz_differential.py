@@ -105,6 +105,35 @@ def main():
         except CompileError:
             continue
         ro = oracle_solve(tnf, timeout_s=60)
+        if tnf.obj_var < 0 and rng.integers(0, 2):
+            # Enumeration-streaming differential (-a on the batched
+            # arch, VERDICT r3 item 6): every assignment the oracle
+            # enumerates must be streamed through the solution ring
+            # exactly once, each a valid distinct solution.
+            roa = oracle_solve(tnf, timeout_s=60,
+                               stop_after_n_solutions=0)
+            if roa.stats.exhaustive:
+                got = []
+                sa = BatchedSolver(tnf, EngineConfig(
+                    num_dives=4,
+                    subproblems_power=int(rng.integers(2, 6)),
+                    max_depth=0, enumerate_all=True, sol_ring_size=64))
+                ra = sa.solve(
+                    timeout_s=120, chunk=8, stop_after_n_solutions=0,
+                    on_solution=lambda lb: got.append(
+                        tuple(int(v) for v in lb)))
+                from turbo_tpu.utils.checker import check_solution
+                invalid = [g for g in got
+                           if check_solution(parse_fzn_text(text), tnf,
+                                             np.asarray(g))]
+                if (ra.solutions != roa.stats.solutions
+                        or len(got) != ra.solutions
+                        or len(set(got)) != len(got) or invalid):
+                    bad += 1
+                    print(f"ENUM MISMATCH trial={trial}: oracle="
+                          f"{roa.stats.solutions} engine={ra.solutions} "
+                          f"streamed={len(got)} distinct={len(set(got))} "
+                          f"invalid={len(invalid)}\n{text}\n", flush=True)
         if ro.status not in ("optimal", "unsat"):
             continue  # oracle timeout: no golden to compare
         # Fuzz the fixpoint variants too: whichever the chip A/B
