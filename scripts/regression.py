@@ -60,6 +60,13 @@ def main():
     # the 60 s proof budget that overhead is pure loss. step_n is a
     # fori_loop so compile cost does not grow with the chunk.
     ap.add_argument("--chunk", type=int, default=64)
+    # Per-STEP fixpoint sweep cap (traced: no recompile). Low caps
+    # branch before full fixpoint — sound, exhaustive, but the tree may
+    # grow; the chip A/B (benchmarks/bench_ab_pat13_r4.jsonl) measured
+    # node rate almost inversely proportional to the cap on proof
+    # workloads (pat13: 2.7k/s at 16, 95.7k/s at 2).
+    ap.add_argument("--fp-cap", type=int, default=0,
+                    help="override the per-step sweep cap at solve time")
     args = ap.parse_args()
 
     if args.platform:
@@ -93,6 +100,8 @@ def main():
                                 args.disable_simplify)
                 kw = ({"chunk": args.chunk}
                       if args.arch in ("tpu", "multi") else {})
+                if args.fp_cap and args.arch == "tpu":
+                    kw["fp_cap"] = args.fp_cap
                 r = s.solve(timeout_s=args.timeout, **kw)
             dt = time.time() - t0
             if r.status in ("optimal", "sat") and                     getattr(r, "best_lb", None) is not None:

@@ -119,7 +119,7 @@ def test_jax_propagation_matches_numpy():
     for d in range(D):
         lbp[d, plan.perm] = lbs[d]
         ubp[d, plan.perm] = ubs[d]
-    jl, ju, _ = jax.jit(kernels.fixpoint)(jnp.asarray(lbp, jnp.int32),
+    jl, ju, _, _ = jax.jit(kernels.fixpoint)(jnp.asarray(lbp, jnp.int32),
                                           jnp.asarray(ubp, jnp.int32))
     jl, ju = np.asarray(jl), np.asarray(ju)
 
@@ -250,7 +250,7 @@ def test_jax_element_member_kernels_match_numpy():
     for d in range(D):
         lbp[d, plan.perm] = lbs[d]
         ubp[d, plan.perm] = ubs[d]
-    jl, ju, _ = jax.jit(kernels.fixpoint)(jnp.asarray(lbp, jnp.int32),
+    jl, ju, _, _ = jax.jit(kernels.fixpoint)(jnp.asarray(lbp, jnp.int32),
                                           jnp.asarray(ubp, jnp.int32))
     jl, ju = np.asarray(jl), np.asarray(ju)
     for d in range(D):
@@ -351,7 +351,7 @@ def test_jax_linear_kernel_matches_numpy():
     for d in range(D):
         lbp[d, plan.perm] = lbs[d]
         ubp[d, plan.perm] = ubs[d]
-    jl, ju, _ = jax.jit(kernels.fixpoint)(jnp.asarray(lbp, jnp.int32),
+    jl, ju, _, _ = jax.jit(kernels.fixpoint)(jnp.asarray(lbp, jnp.int32),
                                           jnp.asarray(ubp, jnp.int32))
     jl, ju = np.asarray(jl), np.asarray(ju)
     for d in range(D):
@@ -723,9 +723,9 @@ def test_wac1_fixpoint_matches_numpy():
     for d in range(D):
         lbp[d, plan.perm] = lbs[d]
         ubp[d, plan.perm] = ubs[d]
-    jl, ju, sweeps = jax.jit(kernels.fixpoint_wac1)(
+    jl, ju, sweeps, _ = jax.jit(kernels.fixpoint_wac1)(
         jnp.asarray(lbp, jnp.int32), jnp.asarray(ubp, jnp.int32))
-    al, au, aiters = jax.jit(kernels.fixpoint)(
+    al, au, aiters, _ = jax.jit(kernels.fixpoint)(
         jnp.asarray(lbp, jnp.int32), jnp.asarray(ubp, jnp.int32))
     jl, ju = np.asarray(jl), np.asarray(ju)
 
@@ -802,9 +802,9 @@ def test_transposed_fixpoint_matches_dv():
                     lo = rng.integers(lbp[d, v], ubp[d, v] + 1)
                     hi = rng.integers(lo, ubp[d, v] + 1)
                     lbp[d, v], ubp[d, v] = lo, hi
-        al, au, ai = jax.jit(kernels.fixpoint)(
+        al, au, ai, _ = jax.jit(kernels.fixpoint)(
             jnp.asarray(lbp, jnp.int32), jnp.asarray(ubp, jnp.int32))
-        tl, tu, ti = jax.jit(kernels.fixpoint_t)(
+        tl, tu, ti, _ = jax.jit(kernels.fixpoint_t)(
             jnp.asarray(lbp.T, jnp.int32), jnp.asarray(ubp.T, jnp.int32))
         np.testing.assert_array_equal(np.asarray(al), np.asarray(tl).T, path)
         np.testing.assert_array_equal(np.asarray(au), np.asarray(tu).T, path)

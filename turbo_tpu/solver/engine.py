@@ -678,20 +678,29 @@ class BatchedSolver:
         with jax.named_scope("fixpoint"):
             fp_cap = st.fp_cap[0]
             if cfg.fp_mode == "fixed":
-                lb, ub, iters = self.kernels.fixed_sweeps(
+                lb, ub, iters, unconv = self.kernels.fixed_sweeps(
                     lb, ub, cfg.fp_fixed_iters)
             elif cfg.fp_mode == "wac1":
-                lb, ub, iters = self.kernels.fixpoint_wac1(
+                lb, ub, iters, unconv = self.kernels.fixpoint_wac1(
                     lb, ub, fp_cap, cfg.wac1_inner_cap)
             elif cfg.fp_layout == "vd":
-                lbT, ubT, iters = self.kernels.fixpoint_t(
+                lbT, ubT, iters, unconv = self.kernels.fixpoint_t(
                     lb.T, ub.T, fp_cap, cfg.fp_unroll)
                 lb, ub = lbT.T, ubT.T
             else:
-                lb, ub, iters = self.kernels.fixpoint(
+                lb, ub, iters, unconv = self.kernels.fixpoint(
                     lb, ub, fp_cap, cfg.fp_unroll)
         bot = self.kernels.is_bot(lb, ub)
         ent = self.kernels.all_entailed(lb, ub) & ~bot
+        # HOLD lanes the capped fixpoint left unconverged: they neither
+        # branch nor count a node this step — next step they resume
+        # sweeping the same node. This keeps the search tree the EXACT
+        # AC-1 fixpoint tree under ANY cap (branching pre-fixpoint is
+        # sound but inflates the tree exponentially — sudoku_opt_p0:
+        # 575 nodes at fixpoint vs 20583 at cap 4), while the step pays
+        # only cap sweeps. Entailment/failure are exact at any prefix
+        # of the fixpoint, so ent/bot lanes classify immediately.
+        held = unconv & ~bot & ~ent
 
         # IV(a). Branch variable selection (needed before the solution
         # block in all-solutions mode).
@@ -712,7 +721,7 @@ class BatchedSolver:
             sol = ent
             leaf = bot | sol
 
-        nodes = st.nodes + act.astype(I32)
+        nodes = st.nodes + (act & ~held).astype(I32)
         fails = st.fails + (act & bot).astype(I32)
         fpit = st.fpit + jnp.where(act, iters, 0)
         deds = st.deds + jnp.where(act, iters.astype(jnp.float32) * st.pscale, 0.0)
@@ -751,7 +760,7 @@ class BatchedSolver:
             sol_w = st.sol_w + impr.sum().astype(I32)
         else:
             sol_ring, sol_w = st.sol_ring, st.sol_w
-        no_split = act & ~leaf & ~found
+        no_split = act & ~leaf & ~found & ~held
         # No splittable var: if some unfixed (necessarily unbounded) var
         # remains, search is incomplete (reference: exhaustive=false,
         # barebones:688-695). If everything is fixed but undecided (only
@@ -763,7 +772,7 @@ class BatchedSolver:
         waiting = no_split & ~any_unfixed
         nonexh = st.nonexh | incomplete
         leaf = leaf | incomplete
-        branching = act & ~leaf & ~waiting
+        branching = act & ~leaf & ~waiting & ~held
 
         lo = jnp.take_along_axis(lb, var[:, None], axis=1)[:, 0]
         hi = jnp.take_along_axis(ub, var[:, None], axis=1)[:, 0]
@@ -1252,7 +1261,8 @@ class BatchedSolver:
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
               node_limit: int = 0, verbose: bool = False, on_improve=None,
               on_solution=None,
-              checkpoint_path: str = "", checkpoint_every_s: float = 60.0):
+              checkpoint_path: str = "", checkpoint_every_s: float = 60.0,
+              fp_cap: int = 0):
         """Single-device host loop. Returns an EngineResult.
 
         on_improve(best_lb_tnf_ids): called whenever the global
@@ -1272,6 +1282,13 @@ class BatchedSolver:
         timers = PhaseTimers(num_lanes=self.cfg.num_dives * self.num_shards)
         tt = time.monotonic()
         st = self.init_state()
+        if fp_cap > 0:
+            # Per-run fixpoint-cap override: the cap plane is traced
+            # state, so this swaps it with no recompile (the chip A/B
+            # showed nodes/s on proof workloads is set almost entirely
+            # by the cap — pat13: 2.7k/s at 16 vs 95.7k/s at 2,
+            # benchmarks/bench_ab_pat13_r4.jsonl).
+            st = st._replace(fp_cap=jnp.full_like(st.fp_cap, fp_cap))
         jax.block_until_ready(st.lb)
         timers.transfer_c2g = time.monotonic() - tt
         # Table-build wall time counts against the solve budget (the

@@ -117,10 +117,12 @@ def _make_programs(solver):
         lbp, ubp, stp = _embed(lb_par, ub_par, strat_par, var_par,
                                c0l, c0u, c1l, c1u, pidx, pbit)
         if cfg.fp_mode == "wac1":
-            lb2, ub2, iters = kernels.fixpoint_wac1(
+            lb2, ub2, iters, _ = kernels.fixpoint_wac1(
                 lbp, ubp, _BIG_CAP, cfg.wac1_inner_cap)
         else:
-            lb2, ub2, iters = kernels.fixpoint(lbp, ubp, _BIG_CAP)
+            # _BIG_CAP: the build always reaches the true fixpoint, so
+            # the unconverged mask is empty by construction.
+            lb2, ub2, iters, _ = kernels.fixpoint(lbp, ubp, _BIG_CAP)
         bot = kernels.is_bot(lb2, ub2)
         ent = kernels.all_entailed(lb2, ub2) & ~bot
         found, var2, nstrat, valo = solver._select(lb2, ub2, stp)

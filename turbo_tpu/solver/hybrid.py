@@ -276,7 +276,7 @@ class HybridSolver:
             U = np.stack([c.ub for c in act])
             timers.transfer_c2g += time.monotonic() - tt
             td = time.monotonic()
-            Lj, Uj, it = self._fp(L, U)
+            Lj, Uj, it, _ = self._fp(L, U)
             bot, ent = self._post(Lj, Uj)
             Lh, Uh, ith, both, enth = jax.device_get((Lj, Uj, it, bot, ent))
             now = time.monotonic()

@@ -781,10 +781,11 @@ class PropagatorKernels:
 
     def fixpoint_t(self, lbT, ubT, max_iters: int = 100000,
                    unroll: int = 1):
-        """AC-1 fixpoint on (V, D) planes. Returns (lbT, ubT, iters).
-        See `fixpoint` for the unroll rationale."""
+        """AC-1 fixpoint on (V, D) planes. Returns (lbT, ubT, iters,
+        unconv). See `fixpoint` for the unroll and unconv rationale."""
         if self.P == 0:
-            return lbT, ubT, jnp.zeros(lbT.shape[1], dtype=I32)
+            z = jnp.zeros(lbT.shape[1], dtype=I32)
+            return lbT, ubT, z, z != 0
         unroll = max(1, unroll)
 
         def cond(carry):
@@ -806,8 +807,8 @@ class PropagatorKernels:
 
         zero_lane = lbT[0] * 0
         init = (lbT, ubT, zero_lane, zero_lane == 0, zero_lane[0])
-        lbT, ubT, iters, _, _ = jax.lax.while_loop(cond, body, init)
-        return lbT, ubT, iters + 1
+        lbT, ubT, iters, m, _ = jax.lax.while_loop(cond, body, init)
+        return lbT, ubT, iters + 1, m
 
     # -- WAC1: per-group local fixpoints ------------------------------
 
@@ -883,10 +884,11 @@ class PropagatorKernels:
     def fixpoint_wac1(self, lb, ub, max_iters: int = 100000,
                       inner_cap: int = 16):
         """WAC1 fixpoint: outer loop of `sweep_wac1` until no change.
-        Returns (lb, ub, sweeps (D,) int32) - sweeps counts outer
-        iterations, comparable to `fixpoint`'s AC-1 count."""
+        Returns (lb, ub, sweeps (D,) int32, unconv) - sweeps counts
+        outer iterations, comparable to `fixpoint`'s AC-1 count."""
         if self.P == 0:
-            return lb, ub, jnp.zeros(lb.shape[0], dtype=I32)
+            z = jnp.zeros(lb.shape[0], dtype=I32)
+            return lb, ub, z, z != 0
 
         def cond(carry):
             _, _, _, changed, it = carry
@@ -902,14 +904,25 @@ class PropagatorKernels:
 
         zero_lane = lb[:, 0] * 0
         init = (lb, ub, zero_lane, zero_lane == 0, zero_lane[0])
-        lb, ub, sweeps, _, _ = jax.lax.while_loop(cond, body, init)
-        return lb, ub, sweeps + 1
+        lb, ub, sweeps, m, _ = jax.lax.while_loop(cond, body, init)
+        return lb, ub, sweeps + 1, m
 
     # -- fixpoint -----------------------------------------------------
 
     def fixpoint(self, lb, ub, max_iters: int = 100000,
                  unroll: int = 1):
-        """AC-1 fixpoint. Returns (lb, ub, iters (D,) int32).
+        """AC-1 fixpoint. Returns (lb, ub, iters (D,) int32, unconv
+        (D,) bool).
+
+        `unconv` marks lanes still changing when the loop exited on
+        `max_iters` (empty when the loop converged). The per-step cost
+        of this while loop is its TRIP count — the max over lanes of
+        sweeps-to-convergence — while the useful work is the sum, so a
+        tight cap buys a multiple in step rate (pat13 chip A/B: 24.7
+        steps/s at cap 16 vs 93.4 at cap 2). The engine HOLDS unconv
+        lanes (no branch, no node count) so a tight cap never inflates
+        the search tree: a held lane just spends another step's sweeps
+        before it is classified (engine.step II/IV).
 
         `unroll` sweeps run inside each while iteration: on the TPU a
         while-loop iteration carries a large fixed overhead (separate
@@ -922,7 +935,8 @@ class PropagatorKernels:
         the convergence check still gates exit."""
         if self.P == 0:
             D = lb.shape[0]
-            return lb, ub, jnp.zeros(D, dtype=I32)
+            z = jnp.zeros(D, dtype=I32)
+            return lb, ub, z, z != 0
         unroll = max(1, unroll)
 
         def cond(carry):
@@ -947,18 +961,22 @@ class PropagatorKernels:
         # would be 'unvarying' and fail the while_loop carry check).
         zero_lane = lb[:, 0] * 0
         init = (lb, ub, zero_lane, zero_lane == 0, zero_lane[0])
-        lb, ub, iters, _, _ = jax.lax.while_loop(cond, body, init)
-        return lb, ub, iters + 1
+        lb, ub, iters, m, _ = jax.lax.while_loop(cond, body, init)
+        return lb, ub, iters + 1, m
 
     def fixed_sweeps(self, lb, ub, n: int):
         """Exactly n AC-1 sweeps, no convergence check (lockstep, no
         while_loop). Sound: meets only; callers treat non-fixpoint
-        stores conservatively. Returns (lb, ub, iters (D,))."""
+        stores conservatively. Returns (lb, ub, iters (D,), unconv):
+        unconv is all-False — fixed mode BRANCHES at non-fixpoint
+        stores by design, so no lane is ever held."""
         if self.P == 0:
-            return lb, ub, jnp.zeros(lb.shape[0], dtype=I32)
+            z = jnp.zeros(lb.shape[0], dtype=I32)
+            return lb, ub, z, z != 0
         for _ in range(n):
             lb, ub = self.iteration(lb, ub)
-        return lb, ub, jnp.full(lb.shape[0], n, dtype=I32)
+        return (lb, ub, jnp.full(lb.shape[0], n, dtype=I32),
+                jnp.zeros(lb.shape[0], dtype=bool))
 
     # -- entailment ---------------------------------------------------
 
