@@ -134,8 +134,10 @@ class EngineConfig:
     # Plane layout inside the fixpoint: "dv" = (D, V) as carried by the
     # search state; "vd" = transpose to dive-minor (V, D) for the sweep
     # (matches the layout XLA's assignment prefers for the candidate
-    # gathers - see PropagatorKernels.iteration_t).
-    fp_layout: str = "dv"
+    # gathers - see PropagatorKernels.iteration_t). Default vd: the
+    # round-4 chip A/B measured vd ahead of dv by 3-5% at every
+    # fixpoint cap (DESIGN.md "the fixpoint cap A/B").
+    fp_layout: str = "vd"
     fp_fixed_iters: int = 2
     # Role-gather implementation inside the sweep: "take" = plain
     # static-index gathers; "onehot" = exact dual-half f32 one-hot
