@@ -1212,3 +1212,46 @@ solve maximize x4;
         r = s.solve(timeout_s=60, chunk=8)
         assert r.status == "optimal" and r.objective == -4, mode
         assert r.nodes < 500, (mode, r.nodes)
+
+
+def test_low_cap_partition_exact_with_steal(bench_dir):
+    """Round-4 fuzz finding: at low fixpoint caps, held dive lanes can
+    linger inside a subproblem range another lane already counted as
+    skipped (its dead subtree covered handed-out subproblems). The
+    steal-freeze snapshot must therefore derive the outstanding coarse
+    count as total-solved-skipped, NOT as the unique-subp count of the
+    non-idle lanes (which double-counts those lanes): solved+skipped
+    must partition the space exactly at every cap."""
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" /
+                                      "sudoku_opt_p0.fzn")))
+    for cap in (2, 3, 16):
+        s = BatchedSolver(tnf, EngineConfig(
+            num_dives=16, fp_max_iters=16, use_table=False,
+            fp_cap_auto=False))
+        r = s.solve(timeout_s=300, chunk=8, fp_cap=cap)
+        assert r.status == "optimal" and r.objective == -3, cap
+        assert r.exhaustive, cap
+        assert (r.eps_solved_subproblems + r.eps_skipped_subproblems
+                == r.eps_num_subproblems), (
+            cap, r.eps_solved_subproblems, r.eps_skipped_subproblems,
+            r.eps_num_subproblems)
+
+
+def test_auto_cap_calibration(bench_dir):
+    """The live fixpoint-cap sweep (AutoCapCalibrator): on a run long
+    enough to finish calibrating, a winner is locked in, the answer is
+    exact, and the tree equals the fixed-cap tree (the hold rule keeps
+    the search tree the exact AC-1 fixpoint tree at every cap)."""
+    tnf = compile_model(parse_fzn(str(bench_dir / "test_data" /
+                                      "pat12.fzn")))
+    s = BatchedSolver(tnf, EngineConfig(num_dives=16, fp_max_iters=16))
+    r = s.solve(timeout_s=25, chunk=8)
+    assert getattr(s, "last_auto_cap", None) in (2, 3, 4, 8, 16)
+    # pat12's optimum is 13 (test_list.csv); 25 s on CPU is not enough
+    # for the proof, but any incumbent must be a valid bound >= 13.
+    if r.objective is not None:
+        assert r.objective >= 13
+    # Explicit override disables calibration.
+    s2 = BatchedSolver(tnf, EngineConfig(num_dives=16, fp_max_iters=16))
+    r2 = s2.solve(timeout_s=5, chunk=8, fp_cap=4)
+    assert getattr(s2, "last_auto_cap", None) is None

@@ -214,7 +214,8 @@ class ShardedSolver:
               stop_after_n_solutions: int = 1, max_steps: int = 1 << 60,
               node_limit: int = 0, verbose: bool = False,
               on_improve=None, checkpoint_path: str = "",
-              checkpoint_every_s: float = 60.0) -> EngineResult:
+              checkpoint_every_s: float = 60.0,
+              fp_cap: int = 0) -> EngineResult:
         from ..solver.timers import PhaseTimers
         t0 = time.monotonic()
         if self.plan.root_unsat:
@@ -223,6 +224,17 @@ class ShardedSolver:
             num_lanes=self.solver.cfg.num_dives * self.n_shards)
         tt = time.monotonic()
         st = self.init_state()
+        # Shared auto-cap calibration (engine.AutoCapCalibrator). The
+        # mesh step program has a BAKED trip count (one executable per
+        # chunk size), so the chunk-resize hint is ignored — the
+        # ascending ladder's early stop keeps expensive high-cap
+        # samples rare.
+        from ..solver.engine import AutoCapCalibrator
+        if fp_cap > 0:
+            # Per-run override of the traced cap plane (no recompile).
+            st = AutoCapCalibrator._set_cap(st, fp_cap)
+        cal = AutoCapCalibrator(self.solver.cfg, fp_cap)
+        st = cal.arm(st)
         jax.block_until_ready(st.lb)
         timers.transfer_c2g = time.monotonic() - tt
         if checkpoint_path:
@@ -257,8 +269,8 @@ class ShardedSolver:
                 t0 = time.monotonic()
             tg = time.monotonic()
             # One transfer per chunk (relay round trips have a ~2ms floor).
-            phase, sols, fpit, bbs = jax.device_get(
-                (st.phase, st.sols, st.fpit, st.best_bound))
+            phase, sols, fpit, bbs, nodes_v = jax.device_get(
+                (st.phase, st.sols, st.fpit, st.best_bound, st.nodes))
             fetch_dur = time.monotonic() - tg
             # Deserialized-executable outputs don't block on the relay
             # (see engine.solve): fold the real wait back into device time.
@@ -266,6 +278,9 @@ class ShardedSolver:
             timers.transfer_g2c += min(fetch_dur, 0.01)
             timers.record_chunk(device_dur, int(fpit.sum()), phase, chunk,
                                 time.monotonic() - t0, measured=not warmup)
+            if not cal.done:
+                st, _ = cal.observe(st, int(nodes_v.sum()), device_dur,
+                                    warmup, verbose=verbose)
             bbm = int(bbs.min())
             if on_improve is not None:
                 if not hasattr(self, "_last_best"):

@@ -179,6 +179,18 @@ class EngineConfig:
     # enumerate mode the driver caps the chunk at R // num_dives steps
     # so the ring can never overflow between drains.
     sol_ring_size: int = 0
+    # Auto fixpoint cap: when solve() gets no explicit fp_cap, sweep
+    # the traced cap plane live over a candidate ladder (one short
+    # chunk each, after the compile chunk) and lock in the nodes/s
+    # argmax. Sound at every cap thanks to the hold rule (the search
+    # tree is the exact AC-1 fixpoint tree regardless), so calibration
+    # chunks are real solve progress — the only cost is running a few
+    # chunks at non-optimal caps. The round-4 chip A/B measured the
+    # cap as THE dominant per-step knob (pat13: 2.7k nodes/s at cap 16
+    # vs 95.7k/s at cap 2, benchmarks/bench_ab_pat13_r4.jsonl), and
+    # the optimum is instance-dependent (sweep depth vs per-step fixed
+    # overhead), so a static default leaves 10x+ on the table.
+    fp_cap_auto: bool = True
     # Precomputed EPS subproblem-root table (solver/eps_table.py):
     # expand the dive tree once (shared prefixes, full occupancy) and
     # seed refills straight into SOLVE phase — eliminates the lockstep
@@ -187,6 +199,99 @@ class EngineConfig:
     # true fixpoints), oversized tables, and multi-host runs (stolen
     # ranges cross table boundaries; those lanes re-dive instead).
     use_table: bool = True
+
+
+class AutoCapCalibrator:
+    """Live fixpoint-cap calibration over the traced cap plane.
+
+    The round-4 chip A/B (benchmarks/bench_ab_pat13_r4.jsonl) measured
+    node rate on proof workloads as set almost entirely by the per-step
+    sweep cap (pat13: 2.7k/s at cap 16 vs 95.7k/s at cap 2) with an
+    instance-dependent optimum, and the hold rule makes the search tree
+    the exact AC-1 fixpoint tree at ANY cap — so the cap is a pure
+    throughput knob that can be swept LIVE: one short chunk per
+    candidate, every calibration chunk is real solve progress, zero
+    recompiles (the cap is traced state). Ascending ladder with early
+    stop: a step at cap c costs up to c sweeps, so cheap candidates run
+    first and expensive ones are only sampled while the curve still
+    rises. Shared by the single-device and mesh host loops."""
+
+    def __init__(self, cfg, fp_cap_override: int):
+        self.rates = {}
+        self.active = None
+        self.nodes0 = 0
+        self.chosen = None
+        if (fp_cap_override == 0 and cfg.fp_cap_auto
+                and cfg.fp_mode != "fixed"):
+            self.caps = [c for c in (2, 3, 4, 8, 16)
+                         if c <= cfg.fp_max_iters]
+        else:
+            self.caps = []
+        if self.caps:
+            self.active = self.caps[0]
+
+    @property
+    def done(self) -> bool:
+        return not self.caps
+
+    @staticmethod
+    def _set_cap(st, v: int):
+        # Preserve the plane's sharding (the mesh state shards it over
+        # the dives axis; full_like alone lands on the default device).
+        new = jnp.full_like(st.fp_cap, jnp.int32(v))
+        sh = getattr(st.fp_cap, "sharding", None)
+        if sh is not None:
+            try:
+                new = jax.device_put(new, sh)
+            except Exception:
+                pass
+        return st._replace(fp_cap=new)
+
+    def arm(self, st):
+        """Set the first candidate before the compile chunk (the run
+        then never pays the uncapped default)."""
+        if self.caps:
+            return self._set_cap(st, self.active)
+        return st
+
+    def observe(self, st, tot_nodes: int, device_dur: float,
+                warmup: bool, skip: bool = False, verbose: bool = False):
+        """Feed one chunk's observation. Returns (st', chunk_hint):
+        chunk_hint is the suggested trip count for the NEXT chunk
+        (None = caller's own choice)."""
+        if not self.caps:
+            return st, None
+        if warmup or skip:
+            # No rate sample (compile chunk / an extra profiled chunk
+            # polluted the delta): just rebase the counter.
+            self.nodes0 = tot_nodes
+            return st, max(2, 32 // self.active)
+        if self.active is not None:
+            self.rates[self.active] = (
+                (tot_nodes - self.nodes0) / max(device_dur, 1e-6))
+        best_rate = max(self.rates.values(), default=0.0)
+        nxt = next((c for c in self.caps if c not in self.rates), None)
+        declined = (self.active is not None and len(self.rates) >= 2
+                    and self.rates[self.active] < 0.7 * best_rate)
+        if nxt is not None and not declined:
+            self.active = nxt
+            self.nodes0 = tot_nodes
+            # Equal-ish wall time per sample: scale trips inversely
+            # with the cap (a step costs up to `cap` sweeps).
+            return self._set_cap(st, nxt), max(2, 32 // nxt)
+        best_cap, best_rate = max(self.rates.items(),
+                                  key=lambda kv: (kv[1], kv[0]))
+        st = self._set_cap(st, best_cap)
+        self.chosen = best_cap
+        self.caps = []
+        self.active = None
+        if verbose:
+            print(f"% auto fp_cap={best_cap} ({best_rate:,.0f} nodes/s;"
+                  " swept "
+                  + " ".join(f"{c}:{self.rates[c]:,.0f}"
+                             for c in sorted(self.rates)) + ")",
+                  flush=True)
+        return st, None
 
 
 def probe_tree_power(tnf, probe_nodes: int = 2000,
@@ -1291,6 +1396,12 @@ class BatchedSolver:
             # by the cap — pat13: 2.7k/s at 16 vs 95.7k/s at 2,
             # benchmarks/bench_ab_pat13_r4.jsonl).
             st = st._replace(fp_cap=jnp.full_like(st.fp_cap, fp_cap))
+        # Auto-cap calibration (AutoCapCalibrator): the first candidate
+        # is armed before the compile chunk so the run never pays the
+        # uncapped default; the winner is locked in for the rest of the
+        # run. The cap plane is traced state: zero recompiles.
+        cal = AutoCapCalibrator(self.cfg, fp_cap)
+        st = cal.arm(st)
         jax.block_until_ready(st.lb)
         timers.transfer_c2g = time.monotonic() - tt
         # Table-build wall time counts against the solve budget (the
@@ -1344,9 +1455,11 @@ class BatchedSolver:
             tg = time.monotonic()
             # One transfer per chunk: the relay has a ~2ms floor per
             # device round trip, so fetch all host-loop inputs at once.
-            phase, sols, fpit, bbs, nsub, slim, ndone_v = jax.device_get(
-                (st.phase, st.sols, st.fpit, st.best_bound,
-                 st.next_sub, st.sub_limit, ndone))
+            phase, sols, fpit, bbs, nsub, slim, ndone_v, nodes_v = \
+                jax.device_get(
+                    (st.phase, st.sols, st.fpit, st.best_bound,
+                     st.next_sub, st.sub_limit, ndone, st.nodes))
+            skip_cal = False
             steps += int(ndone_v)
             fetch_dur = time.monotonic() - tg
             # On the axon relay, block_until_ready on a *deserialized*
@@ -1394,6 +1507,9 @@ class BatchedSolver:
                     phase, sols, bbs, nsub, slim = jax.device_get(
                         (st.phase, st.sols, st.best_bound, st.next_sub,
                          st.sub_limit))
+                    # The extra chunk's nodes would inflate this
+                    # iteration's auto-cap rate sample; skip it.
+                    skip_cal = True
             if ring > 0 and on_solution is not None:
                 cur = int(jax.device_get(st.sol_w)[0])
                 if not self.opt and stop_after_n_solutions > 0:
@@ -1436,6 +1552,20 @@ class BatchedSolver:
                 remaining = timeout_s - (time.monotonic() - t0)
                 cur_chunk = int(max(1, min(
                     chunk, remaining / max(step_cost, 1e-9))))
+            # Auto-cap calibration: record the just-measured candidate,
+            # arm the next one, or lock in the winner. The per-call
+            # dispatch floor biases short chunks equally across
+            # candidates, so the argmax is fair at small trip counts.
+            if not cal.done:
+                tot = (int(jax.device_get(st.nodes.sum()))
+                       if skip_cal else int(nodes_v.sum()))
+                st, hint = cal.observe(st, tot, device_dur, warmup,
+                                       skip=skip_cal, verbose=verbose)
+                if hint is not None:
+                    cur_chunk = min(cur_chunk, hint)
+                else:
+                    self.last_auto_cap = cal.chosen
+                    cur_chunk = chunk
             # EPS tail: once the range is drained, idle lanes can only
             # get work from the stragglers. Stack stealing first (no
             # re-exploration); resplit as the fallback when stragglers
@@ -1452,18 +1582,27 @@ class BatchedSolver:
                     and timeout_s - (time.monotonic() - t0) > 2.0
                     and time.monotonic() - last_steal > steal_wait):
                 last_steal = time.monotonic()
-                def _freeze_accounting(n_coarse):
+                def _freeze_accounting(_n_unique):
                     nonlocal resplit_base
                     if resplit_base is None:
                         # Snapshot coarse accounting: refined/stolen-
                         # unit counter deltas after this point are
-                        # credited as the n_coarse outstanding
+                        # credited as the not-yet-accounted coarse
                         # subproblems once the run exhausts
-                        # (EngineResult post-fix).
+                        # (EngineResult post-fix). NOT the unique-subp
+                        # count of the non-idle lanes: a lane can be
+                        # mid-dive inside a range another lane already
+                        # counted as skipped (its dead subtree covered
+                        # handed-out subproblems), so unique-subp
+                        # double-counts those — total-solved-skipped
+                        # makes solved+skipped partition the space by
+                        # construction at any fixpoint cap.
                         solved0, skipped0 = jax.device_get(
                             (st.solved_sub, st.skipped_sub))
-                        resplit_base = (int(solved0.sum()),
-                                        int(skipped0.sum()), n_coarse)
+                        s0, k0 = int(solved0.sum()), int(skipped0.sum())
+                        resplit_base = (
+                            s0, k0,
+                            max(0, self.num_sub_total - s0 - k0))
                 # Cheap precheck (ADVICE r3): a device-side open-branch
                 # count gates the full-state fetch; stragglers with
                 # closed stacks cost one scalar round trip, not a
@@ -1472,11 +1611,11 @@ class BatchedSolver:
                     st.dec_cur, st.depth, st.phase)))
                 res3 = None
                 if n_open > 0:
-                    n_out = len(np.unique(jax.device_get(
-                        st.subp)[np.asarray(phase) != IDLE]))
                     res3 = self._steal_open_branches(st, np.asarray(phase))
                 if res3 is not None:
-                    _freeze_accounting(n_out)
+                    # Freeze BEFORE adopting the post-steal state: the
+                    # snapshot must read the pre-steal counters.
+                    _freeze_accounting(0)
                     st, n_steals = res3
                     steal_rounds += 1
                     steal_wait = 1.0
@@ -1486,8 +1625,8 @@ class BatchedSolver:
                 elif resplit_rounds < 8 and idle_n >= (3 * len(phase)) // 4:
                     res2 = self._tail_resplit(st, phase)
                     if res2 is not None:
+                        _freeze_accounting(0)
                         st, n_coarse = res2
-                        _freeze_accounting(n_coarse)
                         resplit_rounds += 1
                         steal_wait = 1.0
                         if verbose:
