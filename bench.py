@@ -10,12 +10,22 @@ reference's `nodes` / `solveTime` statistics definition
 (statistics.hpp:340-346). The reference repo publishes no absolute
 numbers (BASELINE.md); vs_baseline is measured against the recorded
 best of previous rounds in BENCH_BASELINE.json when present.
+
+Round-5 hardening (VERDICT r4 item 1): every stage announces start and
+finish on stderr with a heartbeat thread so a hung relay call can never
+produce a silent empty artifact; the EPS table build runs under a
+deadline (engine falls back to dive mode on overrun); and the
+measurement runs at the best cap of an inline fixpoint-cap sweep
+(the cap plane is traced state — zero recompiles) with the vd layout
+the round-4 A/B measured ahead at every cap.
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -27,16 +37,49 @@ INSTANCE = os.environ.get(
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "60"))
 DIVES = int(os.environ.get("BENCH_DIVES", "256"))
-FP_CAP = int(os.environ.get("BENCH_FP_CAP", "16"))
+FP_CAP = int(os.environ.get("BENCH_FP_CAP", "0"))  # 0 = sweep
+# Caps swept when BENCH_FP_CAP=0; ~2 s of device time each, every
+# sweep chunk is real solve progress (sound at any cap — hold rule).
+CAPS = [int(c) for c in os.environ.get("BENCH_CAPS", "2,3,4,8,16").split(",")]
+SWEEP_S = float(os.environ.get("BENCH_SWEEP_S", "3.0"))
 # Steps fused into one device program. The TPU profile measured ~83ms
 # of host/relay dispatch overhead per program call vs ~166ms of device
 # compute for a 16-step chunk (33% overhead); 64 steps amortizes it to
 # ~11%. The exec cache must be warmed for the chosen chunk size.
 CHUNK = int(os.environ.get("BENCH_CHUNK", "64"))
+T_START = time.monotonic()
 
 
 def log(msg):
-    print(f"% {msg}", file=sys.stderr, flush=True)
+    print(f"% [{time.monotonic() - T_START:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+@contextlib.contextmanager
+def stage(name, heartbeat_s: float = 30.0):
+    """Announce a stage and run a heartbeat so the driver's captured
+    tail always shows WHERE the bench is (round-4's artifact was lost
+    to a silent stage)."""
+    log(f"stage: {name} ...")
+    t0 = time.monotonic()
+    done = threading.Event()
+
+    def beat():
+        while not done.wait(heartbeat_s):
+            log(f"stage: {name} still running "
+                f"({time.monotonic() - t0:.0f}s)")
+
+    th = threading.Thread(target=beat, daemon=True)
+    th.start()
+    try:
+        yield
+    finally:
+        done.set()
+        log(f"stage: {name} done ({time.monotonic() - t0:.1f}s)")
+
+
+def remaining():
+    return BUDGET_S - (time.monotonic() - T_START)
 
 
 INIT_TIMEOUT_S = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "300"))
@@ -75,61 +118,118 @@ def _init_devices():
 
 
 def main():
-    t_start = time.monotonic()
-    jax, backend_mode = _init_devices()
+    import numpy as np
+    with stage("device init"):
+        jax, backend_mode = _init_devices()
+    import jax.numpy as jnp
 
     from turbo_tpu.frontend.fzn import parse_fzn
     from turbo_tpu.compile.model import compile_model
     from turbo_tpu.solver.engine import BatchedSolver, EngineConfig
 
     log(f"devices: {jax.devices()} ({backend_mode})")
-    t0 = time.monotonic()
-    tnf = compile_model(parse_fzn(INSTANCE))
-    log(f"compiled model: V={tnf.num_vars} P={tnf.num_props} "
-        f"({time.monotonic()-t0:.1f}s)")
+    with stage("model compile"):
+        tnf = compile_model(parse_fzn(INSTANCE))
+    log(f"compiled model: V={tnf.num_vars} P={tnf.num_props}")
 
+    use_table = bool(int(os.environ.get("BENCH_TABLE", "1")))
     solver = BatchedSolver(tnf, EngineConfig(
         num_dives=DIVES, subproblems_power=14, max_depth=256,
-        fp_max_iters=FP_CAP,
-        # wac1 measured +13% nodes/s over ac1 on the chip with an
-        # identical bound trajectory (DESIGN.md round-3 A/B matrix).
-        fp_mode=os.environ.get("BENCH_FP_MODE", "wac1"),
-        fp_layout=os.environ.get("BENCH_FP_LAYOUT", "dv"),
-        gather_mode=os.environ.get("BENCH_GATHER_MODE", "take")))
-    st = solver.init_state()
-    step_n = solver.make_step_n(CHUNK)
-    t0 = time.monotonic()
-    st = step_n(st)
-    # device_get, not block_until_ready: on the axon relay,
-    # block_until_ready on a deserialized executable's outputs returns
-    # immediately while the first execution (which uploads the ~100MB
-    # program image through the tunnel, 100-400s) is still in flight.
-    # Only a real fetch proves the program is loaded and the chunk ran.
-    import numpy as np
-    nodes0 = int(np.asarray(jax.device_get(st.nodes)).sum())
-    compile_s = time.monotonic() - t0
+        fp_max_iters=max(CAPS + [FP_CAP, 16]),
+        # fixpoint:vd: the round-4 chip A/B measured vd ahead of dv by
+        # 3-5% at every cap and wac1 behind fixpoint at caps 4-16 (its
+        # scatter-meet group loop costs more per sweep; DESIGN.md "the
+        # fixpoint cap A/B") — these are also the EngineConfig defaults
+        # the CLI runs with, so the headline measures the shipped config.
+        fp_mode=os.environ.get("BENCH_FP_MODE", "fixpoint"),
+        fp_layout=os.environ.get("BENCH_FP_LAYOUT", "vd"),
+        gather_mode=os.environ.get("BENCH_GATHER_MODE", "take"),
+        use_table=use_table))
+    if solver.use_table:
+        # Deadline so a slow relay can't eat the whole artifact budget:
+        # the engine falls back to dive-mode refills on overrun.
+        tbl_budget = min(
+            float(os.environ.get("BENCH_TABLE_BUDGET_S", "420")),
+            max(30.0, 0.4 * remaining()))
+        solver._table_deadline = time.monotonic() + tbl_budget
+        with stage(f"EPS table build (deadline {tbl_budget:.0f}s)"):
+            if solver.get_table(0) is None:
+                solver.disable_table()  # don't re-attempt in init_state
+        log(f"table mode: {solver.use_table}")
+    with stage("init_state (compile/load + table upload)"):
+        st = solver.init_state()
+    with stage("step program compile/load"):
+        step_fn = solver.make_step_budget()
+
+    def step_n(s):
+        return step_fn(s, jnp.int32(CHUNK))[0]
+
+    with stage("first chunk (program upload + execute)"):
+        t0 = time.monotonic()
+        st = step_n(st)
+        # device_get, not block_until_ready: on the axon relay,
+        # block_until_ready on a deserialized executable's outputs
+        # returns immediately while the first execution (which uploads
+        # the ~100MB program image through the tunnel, 100-400s) is
+        # still in flight. Only a real fetch proves the program ran.
+        nodes0 = int(np.asarray(jax.device_get(st.nodes)).sum())
+        compile_s = time.monotonic() - t0
     log(f"XLA compile/load + first {CHUNK} steps: {compile_s:.1f}s")
+
+    # Fixpoint-cap sweep (the round-4 A/B measured the cap as THE
+    # dominant per-step knob; the optimum is instance-dependent). The
+    # cap plane is traced state: switching costs no recompile, and
+    # every sweep chunk is real solve progress under the hold rule.
+    def set_cap(s, c):
+        return s._replace(fp_cap=jnp.full((DIVES,), c, dtype=jnp.int32))
+
+    best_cap = FP_CAP if FP_CAP > 0 else None
+    if best_cap is None:
+        rates = {}
+        with stage(f"fp_cap sweep {CAPS}"):
+            for cap in CAPS:
+                if remaining() < MEASURE_S + 30.0:
+                    log(f"sweep aborted early (budget): measured {rates}")
+                    break
+                st = set_cap(st, cap)
+                # One rebase chunk so the sample starts at the new cap.
+                st = step_n(st)
+                n0 = int(np.asarray(jax.device_get(st.nodes)).sum())
+                t0 = time.monotonic()
+                while time.monotonic() - t0 < SWEEP_S:
+                    st = step_n(st)
+                n1 = int(np.asarray(jax.device_get(st.nodes)).sum())
+                dt = time.monotonic() - t0
+                rates[cap] = (n1 - n0) / dt
+                log(f"  cap {cap}: {rates[cap]:,.0f} nodes/s "
+                    f"({dt:.1f}s sample)")
+        best_cap = max(rates, key=rates.get) if rates else 16
+        log(f"sweep winner: cap {best_cap}")
+    st = set_cap(st, best_cap)
+    st = step_n(st)  # rebase at the winning cap
+    nodes0 = int(np.asarray(jax.device_get(st.nodes)).sum())
+
     t0 = time.monotonic()
     steps = 0
     # Always measure for at least 15s even if a cold compile consumed
     # the budget - a short valid measurement beats a zero division.
-    remaining = BUDGET_S - (time.monotonic() - t_start)
-    measure_s = max(15.0, min(MEASURE_S, remaining))
+    measure_s = max(15.0, min(MEASURE_S, remaining() - 20.0))
     # Bound trajectory is always recorded: nodes/s alone is gameable
     # (a weaker fixpoint inflates nodes while slowing real search
     # progress, VERDICT r2); the (time, best_bound) curve proves the
     # measured throughput is doing real optimization work.
     trajectory = []
-    while time.monotonic() - t0 < measure_s:
-        st = step_n(st)
-        steps += CHUNK
-        if steps % 256 == 0:
-            # Real sync (see above): device_get, not block_until_ready.
-            bb = int(jax.device_get(st.best_bound).min())
-            trajectory.append((round(time.monotonic() - t0, 2), bb))
-    dt_dispatch = time.monotonic() - t0
-    got = jax.device_get((st.nodes, st.best_bound, st.fpit, st.deds))
-    dt = time.monotonic() - t0
+    with stage(f"measure window ({measure_s:.0f}s at cap {best_cap})"):
+        while time.monotonic() - t0 < measure_s:
+            st = step_n(st)
+            steps += CHUNK
+            if steps % 256 == 0:
+                # Real sync (see above): device_get, not block_until_ready.
+                bb = int(jax.device_get(st.best_bound).min())
+                trajectory.append((round(time.monotonic() - t0, 2), bb))
+        dt_dispatch = time.monotonic() - t0
+        got = jax.device_get((st.nodes, st.best_bound, st.fpit, st.deds))
+        dt = time.monotonic() - t0
     if dt - dt_dispatch > 1.0:
         log(f"final drain took {dt - dt_dispatch:.1f}s "
             f"(in-flight chunks at window end)")
@@ -181,6 +281,9 @@ def main():
         "value": round(nodes_per_s, 1),
         "unit": "nodes/s",
         "vs_baseline": round(vs, 3),
+        "fp_cap": best_cap,
+        "fp_layout": solver.cfg.fp_layout,
+        "use_table": bool(solver.use_table),
         "deductions_per_s": round(deds_per_s, 1),
         "best_bound_at_end": bb,
         "measure_window_s": round(dt, 1),

@@ -39,9 +39,10 @@ def main():
     ap.add_argument("--variants", default=(
         "fixpoint:dv:64:256,fixpoint:vd:64:256,wac1:dv:64:256,"
         "fixed2:dv:64:256,fixpoint:dv:16:256,fixpoint:dv:64:0"),
-        help="comma list of mode:layout:chunk:maxdepth[:gather] (mode "
-             "fixedN = fixed sweeps with N iters; maxdepth 0 = auto; "
-             "gather take|onehot)")
+        help="comma list of mode:layout:chunk:maxdepth[:gather[:table]] "
+             "(mode fixedN = fixed sweeps with N iters; maxdepth 0 = "
+             "auto; gather take|onehot; table t1|t0 for the EPS "
+             "subproblem-root table on/off, default t1)")
     ap.add_argument("--caps", default="",
                     help="extra fixpoint-cap sweep values (traced: no "
                          "recompile), applied to every variant")
@@ -68,6 +69,7 @@ def main():
         parts = spec.split(":")
         mode, layout, chunk, maxd = parts[:4]
         gather = parts[4] if len(parts) > 4 else "take"
+        use_table = (parts[5] != "t0") if len(parts) > 5 else True
         chunk, maxd = int(chunk), int(maxd)
         fixed_iters = 2
         if mode.startswith("fixed") and mode != "fixed":
@@ -77,7 +79,8 @@ def main():
             mode_cfg = mode
         row = {"instance": inst, "D": args.dives, "mode": mode,
                "layout": layout, "chunk": chunk, "max_depth": maxd,
-               "gather": gather, "fp_cap": args.fp_cap}
+               "gather": gather, "table": use_table,
+               "fp_cap": args.fp_cap}
         try:
             import jax.numpy as jnp
             t0 = time.monotonic()
@@ -85,7 +88,12 @@ def main():
                 num_dives=args.dives, subproblems_power=args.sub,
                 max_depth=maxd, fp_max_iters=args.fp_cap,
                 fp_mode=mode_cfg, fp_layout=layout,
-                fp_fixed_iters=fixed_iters, gather_mode=gather))
+                fp_fixed_iters=fixed_iters, gather_mode=gather,
+                use_table=use_table))
+            if solver.use_table:
+                tb = time.monotonic()
+                solver.get_table(0)
+                row["table_build_s"] = round(time.monotonic() - tb, 1)
             step_n = solver.make_step_n(chunk)
             compile_s = None
             caps = [args.fp_cap] + [int(c) for c in args.caps.split(",")

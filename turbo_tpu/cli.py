@@ -214,15 +214,6 @@ def run(cfg: Configuration) -> int:
 
     enumerate_all = tnf.obj_var < 0 and cfg.stop_after_n_solutions != 1
     arch = cfg.arch
-    if enumerate_all and arch == "multi":
-        # The sharded mesh counts solutions on-device but its host loop
-        # does not drain per-shard rings yet; -a needs every block
-        # printed, so route to the single-device engine (which streams
-        # through the solution ring, engine.SearchState.sol_ring).
-        print("% WARNING: -a/-n>1 on the 'multi' arch only counts "
-              "solutions on-device; using the single-device tpu arch "
-              "to stream each solution", file=sys.stderr)
-        arch = "tpu"
     num_dives = cfg.or_nodes
     if num_dives == 0:
         # -or 0 / absent: auto-size the dive batch, the TPU analog of
@@ -231,10 +222,11 @@ def run(cfg: Configuration) -> int:
         num_dives = auto_num_dives(tnf)
         if cfg.verbose:
             print(f"% auto-sized num_blocks={num_dives}", file=sys.stderr)
-    # Per-solution streaming (-a / -i) on the batched arch: size the
-    # on-device solution ring; the engine drains it every chunk.
+    # Per-solution streaming (-a / -i) on the batched archs: size the
+    # on-device solution ring; the host loop drains it every chunk
+    # (per shard on the 'multi' arch — mesh.solve on_solution).
     want_stream = ((cfg.print_intermediate or enumerate_all)
-                   and arch == "tpu")
+                   and arch in ("tpu", "multi"))
     ring = min(4 * num_dives, 8192) if want_stream else 0
     econf = EngineConfig(num_dives=num_dives,
                          subproblems_power=cfg.subproblems_power,
@@ -285,8 +277,15 @@ def run(cfg: Configuration) -> int:
     r.init_time = init_time
     # Final solution block — skipped when the intermediate printer
     # already emitted this exact store (avoids a duplicate block that
-    # would miscount solutions under solns2out).
-    if r.best_lb is not None and printed_last[0] != list(r.best_lb):
+    # would miscount solutions under solns2out). In enumerate mode the
+    # ring streamed EVERY accepted solution, so any final block would
+    # be a duplicate regardless of which one was streamed last (the
+    # multi arch interleaves shards, so last-streamed need not be the
+    # reduction's pick).
+    stream_complete = (enumerate_all and want_stream
+                       and printed_last[0] is not None)
+    if (r.best_lb is not None and printed_last[0] != list(r.best_lb)
+            and not stream_complete):
         print_solution(tnf, r.best_lb)
     print_final_separator(r.status, tnf.obj_var >= 0,
                           exhaustive=r.exhaustive)

@@ -221,6 +221,16 @@ class AutoCapCalibrator:
         self.active = None
         self.nodes0 = 0
         self.chosen = None
+        # Per-candidate sample accumulation (VERDICT r4: one short
+        # chunk through an ~83 ms-dispatch-floor relay is too noisy a
+        # sample to lock a 10x knob on): keep sampling the active
+        # candidate until it has >= min_sample_s of device time or
+        # max_sample_chunks chunks, whichever first.
+        self.min_sample_s = float(os.environ.get(
+            "TURBO_TPU_CAL_SAMPLE_S", "0.4"))
+        self.max_sample_chunks = 4
+        self.acc_dur = 0.0
+        self.acc_chunks = 0
         if (fp_cap_override == 0 and cfg.fp_cap_auto
                 and cfg.fp_mode != "fixed"):
             self.caps = [c for c in (2, 3, 4, 8, 16)
@@ -265,10 +275,18 @@ class AutoCapCalibrator:
             # No rate sample (compile chunk / an extra profiled chunk
             # polluted the delta): just rebase the counter.
             self.nodes0 = tot_nodes
+            self.acc_dur = 0.0
+            self.acc_chunks = 0
+            return st, max(2, 32 // self.active)
+        # Accumulate until the active candidate has a robust sample.
+        self.acc_dur += device_dur
+        self.acc_chunks += 1
+        if (self.acc_dur < self.min_sample_s
+                and self.acc_chunks < self.max_sample_chunks):
             return st, max(2, 32 // self.active)
         if self.active is not None:
             self.rates[self.active] = (
-                (tot_nodes - self.nodes0) / max(device_dur, 1e-6))
+                (tot_nodes - self.nodes0) / max(self.acc_dur, 1e-6))
         best_rate = max(self.rates.values(), default=0.0)
         nxt = next((c for c in self.caps if c not in self.rates), None)
         declined = (self.active is not None and len(self.rates) >= 2
@@ -276,6 +294,8 @@ class AutoCapCalibrator:
         if nxt is not None and not declined:
             self.active = nxt
             self.nodes0 = tot_nodes
+            self.acc_dur = 0.0
+            self.acc_chunks = 0
             # Equal-ish wall time per sample: scale trips inversely
             # with the cap (a step costs up to `cap` sweeps).
             return self._set_cap(st, nxt), max(2, 32 // nxt)
@@ -487,11 +507,32 @@ class BatchedSolver:
         self._tables = {}
 
     def get_table(self, shard_idx: int = 0):
-        """Build (once per shard) the EPS subproblem-root table."""
+        """Build (once per shard) the EPS subproblem-root table.
+
+        Returns None when the build hit its wall-clock deadline
+        (solver._table_deadline, budgeted from -t by solve()); the
+        caller then falls back to dive-mode refills for the whole
+        run."""
         if shard_idx not in self._tables:
             from .eps_table import build_table
-            self._tables[shard_idx] = build_table(self, shard_idx)
+            tb = build_table(self, shard_idx)
+            if tb is None:
+                return None
+            self._tables[shard_idx] = tb
         return self._tables[shard_idx]
+
+    def disable_table(self):
+        """Deadline fallback: drop table mode for this solver. Clears
+        every table-keyed compilation cache so subsequent init/step
+        programs compile (or cache-load) their dive-mode variants; a
+        multi-shard caller must rebuild ALL shard states after this
+        (table and dive states have different leaf shapes)."""
+        self.use_table = False
+        self._tables = {}
+        self._init_cache = {}
+        for attr in ("_step_budget", "_step_budget_jit", "_step_budget_pk"):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     # -- strategies ---------------------------------------------------
 
@@ -577,6 +618,12 @@ class BatchedSolver:
         table_args = ()
         if self.use_table:
             tb = self.get_table(shard_idx)
+            if tb is None:
+                # Build deadline hit: fall back to dive-mode refills
+                # (sound — the dive path re-derives every subproblem
+                # root the table would have held).
+                self.disable_table()
+        if self.use_table:
             seed = np.zeros(12, dtype=np.int64)
             seed[0] = tb.n_live
             seed[1:9] = (tb.nodes, tb.fails, tb.fpit, tb.solved,
@@ -603,9 +650,12 @@ class BatchedSolver:
                            self.cfg.num_dives, self.cfg.max_depth,
                            self.cfg.fp_max_iters, self.use_table,
                            self.k, bool(getattr(self, "has_eps", False)))
+            # verbose: a cold init compile on the relay takes minutes —
+            # it must announce itself (round-4 bench was lost to a
+            # silent stage exactly here, VERDICT r4 weak item 1).
             self._init_cache[shard_idx] = cached_compile(
                 jax.jit(functools.partial(self._init_state_impl, shard_idx)),
-                table_args, program_key)
+                table_args, program_key, verbose=True)
         return self._init_cache[shard_idx](*table_args)
 
     def _init_state_impl(self, shard_idx: int = 0, tab_lb=None,
@@ -1384,11 +1434,30 @@ class BatchedSolver:
         from .result import EngineResult  # local import to avoid cycle
         from .timers import PhaseTimers
         t0 = time.monotonic()
+        t_entry = time.monotonic()
+        # Hard wall-clock backstop (VERDICT r4 item 5): -t is a user
+        # contract on the WHOLE run, but solveTime excludes one-time
+        # XLA compile/load (initTime split). On a cold executable cache
+        # the compile can eat multiples of the budget, so beyond
+        # hard_mult * timeout_s of total wall the loop stops with the
+        # best-known answer regardless of how the time was spent.
+        hard_mult = float(os.environ.get("TURBO_TPU_HARD_WALL_MULT", "2"))
         if self.plan.root_unsat:
             return EngineResult.unsat(self)
         timers = PhaseTimers(num_lanes=self.cfg.num_dives * self.num_shards)
         tt = time.monotonic()
+        if (self.use_table and not self._tables and timeout_s < 1e17):
+            # Budget the table build inside -t: at most half the solve
+            # budget; on overrun build_table aborts and the run falls
+            # back to dive-mode refills (the wasted wall time is still
+            # charged to the solve budget below). A caller-provided
+            # deadline (e.g. bench.py's artifact budget) stays binding
+            # when tighter.
+            dl = time.monotonic() + max(2.0, 0.5 * timeout_s)
+            prev = getattr(self, "_table_deadline", None)
+            self._table_deadline = dl if prev is None else min(prev, dl)
         st = self.init_state()
+        self._table_deadline = None  # consumed; don't leak to re-solves
         if fp_cap > 0:
             # Per-run fixpoint-cap override: the cap plane is traced
             # state, so this swaps it with no recompile (the chip A/B
@@ -1407,8 +1476,10 @@ class BatchedSolver:
         # Table-build wall time counts against the solve budget (the
         # reference's dive work runs inside solveTime; excluding the
         # precomputed dive tree would flatter the 60 s regression).
+        # An ABORTED build's wasted wall time is charged the same way.
         dive_dur = sum(t.build_time
                        for t in getattr(self, "_tables", {}).values())
+        dive_dur += getattr(self, "_table_aborted_s", 0.0)
         resplit_rounds = 0
         resplit_base = None
         steal_rounds = 0
@@ -1426,6 +1497,23 @@ class BatchedSolver:
             # can land between drains — enumeration must not lose any.
             chunk = max(1, min(chunk, ring // max(self.cfg.num_dives, 1)))
         ring_drained = 0
+        # Progress heartbeat while the step program compiles/loads and
+        # the first chunk uploads/executes: a cold relay compile takes
+        # minutes and a silent gap is indistinguishable from a hang
+        # (the round-4 bench artifact was lost to exactly this).
+        import sys as _sys
+        import threading as _threading
+        _hb_done = _threading.Event()
+
+        def _heartbeat():
+            t_hb = time.monotonic()
+            while not _hb_done.wait(20.0):
+                print(f"% compiling/loading the step program... "
+                      f"({time.monotonic() - t_hb:.0f}s; one-time cost, "
+                      f"cached for later runs)", file=_sys.stderr,
+                      flush=True)
+
+        _threading.Thread(target=_heartbeat, daemon=True).start()
         step_fn = self.make_step_budget()
         cur_chunk = chunk
         step_n = lambda s: step_fn(s, jnp.int32(cur_chunk))
@@ -1440,6 +1528,13 @@ class BatchedSolver:
         last_best = INF + 1
         last_steal = 0.0
         steal_wait = 1.0
+        # One-shot re-calibration on workload phase change (VERDICT r4
+        # item 6): the cap optimum can shift when the table-seeded /
+        # EPS range drains into the deep tail. Armed only after the
+        # loop has SEEN the undrained phase (otherwise tiny runs would
+        # sweep the ladder twice back to back).
+        recal_armed = False
+        recal_done = False
         while True:
             td = time.monotonic()
             st, ndone = step_n(st)
@@ -1451,6 +1546,7 @@ class BatchedSolver:
                 # budget (the reference's initTime/solveTime split) but
                 # keep the table build inside it.
                 first_call = False
+                _hb_done.set()
                 t0 = time.monotonic() - dive_dur
             tg = time.monotonic()
             # One transfer per chunk: the relay has a ~2ms floor per
@@ -1542,6 +1638,15 @@ class BatchedSolver:
             if time.monotonic() - t0 > timeout_s or steps >= max_steps:
                 stopped = True
                 break
+            if (timeout_s < 1e17 and hard_mult > 0
+                    and time.monotonic() - t_entry > hard_mult * timeout_s):
+                # Hard wall: compile/load (excluded from solveTime) ate
+                # multiples of -t; return the best-known answer now.
+                print("% hard wall-clock limit reached "
+                      f"({hard_mult:g}x timeout incl. compile); stopping",
+                      file=_sys.stderr, flush=True)
+                stopped = True
+                break
             # Adapt the chunk to the remaining budget: a SOLVE-phase
             # step can cost ~1 s at D=1024 on big-P instances, so a
             # fixed 64-step chunk overshoots a 60 s proof budget by 30%+
@@ -1571,6 +1676,24 @@ class BatchedSolver:
             # re-exploration); resplit as the fallback when stragglers
             # have no open branches to steal (e.g. all mid-dive).
             drained = nsub[0] >= slim[0]
+            if not drained:
+                recal_armed = True
+            elif (recal_armed and not recal_done and cal.done
+                    and fp_cap == 0 and self.cfg.fp_cap_auto
+                    and self.cfg.fp_mode != "fixed"
+                    and timeout_s - (time.monotonic() - t0) > 10.0):
+                # Range just drained: re-sweep the cap ladder once for
+                # the tail phase (every calibration chunk is still real
+                # solve progress; the cap plane is traced state).
+                recal_done = True
+                cal = AutoCapCalibrator(self.cfg, fp_cap)
+                if not cal.done:
+                    cal.nodes0 = int(nodes_v.sum()) if not skip_cal \
+                        else int(jax.device_get(st.nodes.sum()))
+                    st = cal.arm(st)
+                    if verbose:
+                        print("% range drained: re-calibrating fp_cap",
+                              flush=True)
             idle_n = int((phase == IDLE).sum())
             # Threshold idle_n >= D/8: each steal round fetches the full
             # state (stacks + stores) through the relay, so reseeding a
@@ -1687,6 +1810,9 @@ class BatchedSolver:
         res.best_obj_time = best_obj_time
         timers.fill_result(res, res.solve_time)
         # Precomputed dive-tree build (host wall time): the reference's
-        # DIVE timer analog for the table path.
+        # DIVE timer analog for the table path. Also surfaced as its
+        # own stat (table_build_time) so dive_time's absorption of the
+        # build is observable (VERDICT r4 weak item 5).
         res.dive_time += dive_dur
+        res.table_build_time = dive_dur
         return res

@@ -47,6 +47,13 @@ I32 = jnp.int32
 _BIG_CAP = 1 << 30  # build propagates to TRUE fixpoint (no per-step cap)
 
 
+class TableBuildTimeout(Exception):
+    """Raised internally when the build exceeds its wall-clock deadline
+    (solver._table_deadline, set by solve() from the -t budget); the
+    caller falls back to dive-mode refills instead of blowing the
+    user's timeout on presolve work."""
+
+
 @dataclasses.dataclass
 class SubTable:
     """Host-side build result; engine.init_state ships it to the device."""
@@ -160,8 +167,18 @@ class _Chunk:
         self.paths = paths    # np int64: bit-path per live row
 
 
-def build_table(solver, shard_idx: int = 0) -> SubTable:
-    """Expand the shard's dive tree and return its leaf table."""
+def build_table(solver, shard_idx: int = 0) -> Optional[SubTable]:
+    """Expand the shard's dive tree and return its leaf table.
+
+    Returns None when the build overruns `solver._table_deadline` (an
+    absolute time.monotonic() deadline budgeted from -t by solve());
+    the wasted wall time is recorded in `solver._table_aborted_s` so
+    the solve budget still charges it (reference `-t` bounds the whole
+    run, test_turbo.sh:38). Progress is reported on stderr as `%` lines
+    once the build runs longer than ~2 s — on the TPU relay a k=14
+    build issues ~2*2^k/W serial device calls and a silent multi-minute
+    presolve is indistinguishable from a hang (round-4 bench loss)."""
+    import sys
     cfg, plan = solver.cfg, solver.plan
     W = cfg.num_dives
     k = solver.k
@@ -178,6 +195,21 @@ def build_table(solver, shard_idx: int = 0) -> SubTable:
     # regression budget (round-4 chip finding).
     progs = _make_programs(solver)
     t_start = time.monotonic()
+    deadline = getattr(solver, "_table_deadline", None)
+    last_progress = [t_start]
+
+    def checkpoint(level, n_chunks):
+        """Deadline check + throttled progress, called between device
+        calls (the build's only preemption points)."""
+        now = time.monotonic()
+        if now - last_progress[0] > 5.0 and now - t_start > 2.0:
+            last_progress[0] = now
+            print(f"% table build: level {level}/{k} "
+                  f"({n_chunks} frontier chunks, "
+                  f"{now - t_start:.0f}s elapsed)",
+                  file=sys.stderr, flush=True)
+        if deadline is not None and now > deadline:
+            raise TableBuildTimeout()
     eps_skip = 1 if getattr(solver, "has_eps", False) else 0
     pscale = float(plan.num_real_props)
     is_opt = bool(plan.is_opt)
@@ -261,6 +293,7 @@ def build_table(solver, shard_idx: int = 0) -> SubTable:
                     if min(hi_cov, limit) - max(lo_cov, base) >= 1:
                         kids.append((int(r), bit, cp))
             for g0 in range(0, len(kids), W):
+                checkpoint(level, len(parents))
                 grp = kids[g0:g0 + W]
                 pidx = np.zeros(W, dtype=np.int32)
                 pbit = np.zeros(W, dtype=np.int32)
@@ -271,15 +304,23 @@ def build_table(solver, shard_idx: int = 0) -> SubTable:
                             np.asarray([g[2] for g in grp])))
         return out
 
-    for level in range(1, k):
-        raws = expand(level, lambda ch, pidx, pbit: progs["dive"](
-            ch.lb, ch.ub, ch.strat, ch.var, ch.c0l, ch.c0u, ch.c1l,
-            ch.c1u, pidx, pbit))
-        parents = [classify(raw, rows, paths, level)
-                   for raw, rows, paths in raws]
-        parents = [c for c in parents if len(c.rows)]
-        if not parents:
-            break
+    try:
+        for level in range(1, k):
+            raws = expand(level, lambda ch, pidx, pbit: progs["dive"](
+                ch.lb, ch.ub, ch.strat, ch.var, ch.c0l, ch.c0u, ch.c1l,
+                ch.c1u, pidx, pbit))
+            parents = [classify(raw, rows, paths, level)
+                       for raw, rows, paths in raws]
+            parents = [c for c in parents if len(c.rows)]
+            if not parents:
+                break
+    except TableBuildTimeout:
+        solver._table_aborted_s = time.monotonic() - t_start
+        print(f"% table build deadline exceeded at level<= {k}: "
+              f"abandoning after {solver._table_aborted_s:.1f}s; "
+              f"falling back to dive-mode refills",
+              file=sys.stderr, flush=True)
+        return None
 
     # Leaf level k: embed-only, done host-side in numpy (the lane's
     # first step propagates the leaf anyway, and skipping a dedicated

@@ -46,6 +46,10 @@ class EngineResult:
     search_time: float = 0.0
     fixpoint_time: float = 0.0
     dive_time: float = 0.0
+    # Precomputed EPS dive-tree build wall time (solver/eps_table.py);
+    # included in dive_time AND in solve_time's budget, broken out here
+    # so the absorption is observable in the stats block.
+    table_build_time: float = 0.0
     transfer_cpu2gpu_time: float = 0.0
     transfer_gpu2cpu_time: float = 0.0
     select_fp_functions_time: float = 0.0

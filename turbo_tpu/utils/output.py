@@ -111,6 +111,12 @@ def print_mzn_statistics(stats: MznStats, r, config=None):
                sec(getattr(r, "select_fp_functions_time", 0.0)))
     stats.stat("wait_cpu_time", sec(getattr(r, "wait_cpu_time", 0.0)))
     stats.stat("dive_time", sec(getattr(r, "dive_time", 0.0)))
+    if getattr(r, "table_build_time", 0.0) > 0.0:
+        # Precomputed EPS dive-tree build (solver/eps_table.py):
+        # included in dive_time and in the solve budget; broken out so
+        # the absorption is observable (extension over the reference's
+        # timer set, statistics.hpp:355-371).
+        stats.stat("table_build_time", sec(r.table_build_time))
     stats.stat("best_obj_time", round(getattr(r, "best_obj_time", 0.0), 3))
     stats.stat("first_block_idle_time",
                sec(getattr(r, "first_block_idle_time", 0.0)))
