@@ -1,13 +1,16 @@
-"""Minimal XCSP3 frontend.
+"""XCSP3 frontend.
 
 The reference supports XCSP3 through the optional XCSP3-CPP-Parser
 (`WITH_XCSP3PARSER`, common_solving.hpp:409-413); its only shipped
 fixture is benchmarks/test_data/cumulative.xml. This parser covers the
-core XCSP3 subset (integer var arrays, extension-free constraints:
-sum, allDifferent, intension-free cumulative with constant
-lengths/heights) by lowering to the same Model AST the FlatZinc
-frontend produces — globals are decomposed into FlatZinc builtins
-(time-indexed decomposition for cumulative), mirroring how MiniZinc
+XCSP3-core subset: integer vars/arrays (sparse domains included),
+intension (full functional syntax), extension (supports/conflicts,
+stars, compression), element, sum, count, cardinality, nValues,
+allDifferent, allEqual, ordered, channel, regular, minimum/maximum,
+instantiation, cumulative, and group templates — lowered to the same
+Model AST the FlatZinc frontend produces. Globals are decomposed into
+FlatZinc builtins (time-indexed decomposition for cumulative, unrolled
+row-selector automaton for regular), mirroring how MiniZinc
 pre-decomposes globals for the reference (SURVEY.md §2a: mzn-lib has
 no global redefinitions).
 """
@@ -194,24 +197,54 @@ def _lower_constraint(b: _Builder, c):
         for i in range(len(vs)):
             for j in range(i + 1, len(vs)):
                 b.constraints.append(Constraint("int_ne", [vs[i], vs[j]]))
+    elif c.tag == "allEqual":
+        vs = b.resolve_list((c.text or "").strip())
+        for i in range(len(vs) - 1):
+            b.constraints.append(Constraint("int_eq", [vs[i], vs[i + 1]]))
     elif c.tag == "sum":
         vs = b.resolve_list((c.find("list").text or "").strip())
         coeffs_el = c.find("coeffs")
         coeffs = _parse_values(coeffs_el.text) if coeffs_el is not None \
             else [1] * len(vs)
-        op, k = _parse_condition(c.find("condition").text)
-        name = {"le": "int_lin_le", "eq": "int_lin_eq",
-                "ne": "int_lin_ne"}.get(op)
-        if name is None:
-            if op == "ge":
-                coeffs = [-v for v in coeffs]
-                k = -k
-                name = "int_lin_le"
-            else:
-                raise Xcsp3Error(f"unsupported sum condition {op!r}")
-        b.constraints.append(Constraint(name, [coeffs, vs, k]))
+        op, k = _parse_condition(b, c.find("condition").text)
+        _lin_cond(b, coeffs, vs, op, k)
+    elif c.tag == "ordered":
+        _lower_ordered(b, c)
+    elif c.tag == "channel":
+        _lower_channel(b, c)
+    elif c.tag == "count":
+        _lower_count(b, c)
+    elif c.tag == "cardinality":
+        _lower_cardinality(b, c)
+    elif c.tag == "nValues":
+        _lower_nvalues(b, c)
+    elif c.tag == "regular":
+        _lower_regular(b, c)
     else:
         raise Xcsp3Error(f"unsupported constraint <{c.tag}>")
+
+
+def _lin_cond(b: _Builder, coeffs: List[int], vs: List[str], op: str, k):
+    """Emit `sum(coeffs*vs) OP k` where k is an int or a variable and
+    OP in le/lt/ge/gt/eq/ne (XCSP3-core <condition> operators)."""
+    coeffs, vs, k = list(coeffs), list(vs), k
+    if not isinstance(k, int):
+        # Move the variable RHS into the sum: sum - k OP 0.
+        coeffs = coeffs + [-1]
+        vs = vs + [k]
+        k = 0
+    if op == "lt":
+        op, k = "le", k - 1
+    elif op == "gt":
+        op, k = "ge", k + 1
+    if op == "ge":
+        coeffs = [-a for a in coeffs]
+        op, k = "le", -k
+    name = {"le": "int_lin_le", "eq": "int_lin_eq",
+            "ne": "int_lin_ne"}.get(op)
+    if name is None:
+        raise Xcsp3Error(f"unsupported linear condition {op!r}")
+    b.constraints.append(Constraint(name, [coeffs, vs, k]))
 
 
 # -- intension expressions (XCSP3-core functional syntax) -------------
@@ -481,7 +514,7 @@ def _lower_element(b: _Builder, c):
 
 def _lower_minmax(b: _Builder, c):
     vs = b.resolve_list((c.find("list").text or "").strip())
-    op, k = _parse_condition(c.find("condition").text)
+    op, k = _parse_condition(b, c.find("condition").text)
     fold = "int_min" if c.tag == "minimum" else "int_max"
     acc = vs[0]
     doms = [_dom_of(b, v) for v in vs]
@@ -528,11 +561,16 @@ def _substitute_args(text: str, args: List[str]) -> str:
     return text
 
 
-def _parse_condition(text: str) -> Tuple[str, int]:
+def _parse_condition(b: _Builder, text: str):
+    """(op, operand): operand is an int, or a variable reference
+    (XCSP3-core allows `(le, y)` / `(eq, x[3])`)."""
     m = re.fullmatch(r"\s*\((\w+),\s*(-?\d+)\)\s*", text)
-    if not m:
-        raise Xcsp3Error(f"unsupported condition {text!r}")
-    return m.group(1), int(m.group(2))
+    if m:
+        return m.group(1), int(m.group(2))
+    m = re.fullmatch(r"\s*\((\w+),\s*([\w\[\]]+)\)\s*", text)
+    if m:
+        return m.group(1), b.resolve_list(m.group(2))[0]
+    raise Xcsp3Error(f"unsupported condition {text!r}")
 
 
 def _lower_cumulative(b: _Builder, c):
@@ -541,7 +579,7 @@ def _lower_cumulative(b: _Builder, c):
     origins = b.resolve_list((c.find("origins").text or "").strip())
     lengths = _parse_values(c.find("lengths").text)
     heights = _parse_values(c.find("heights").text)
-    op, cap = _parse_condition(c.find("condition").text)
+    op, cap = _parse_condition(b, c.find("condition").text)
     if op != "le":
         raise Xcsp3Error(f"unsupported cumulative condition {op!r}")
     doms = {v.name: (v.lb, v.ub) for v in b.vars}
@@ -560,3 +598,189 @@ def _lower_cumulative(b: _Builder, c):
             terms.append(run)
             hs.append(h)
         b.constraints.append(Constraint("int_lin_le", [hs, terms, cap]))
+
+
+# -- XCSP3-core widening (round 5): ordered / channel / count /
+#    cardinality / nValues / regular ----------------------------------
+
+def _lower_ordered(b: _Builder, c):
+    """<ordered>: x_i (+ l_i) OP x_{i+1} chain (lex on a single list).
+    Reference analog: XCSP3-core `ordered` with operator lt/le/gt/ge
+    and optional <lengths>."""
+    lst = c.find("list")
+    vs = b.resolve_list(((lst.text if lst is not None else c.text)
+                         or "").strip())
+    op_el = c.find("operator")
+    op = (op_el.text or "le").strip() if op_el is not None else "le"
+    lens_el = c.find("lengths")
+    lens = (_parse_values(lens_el.text) if lens_el is not None
+            else [0] * (len(vs) - 1))
+    if op in ("gt", "ge"):
+        # x_i OP x_{i+1} with gt/ge == reversed chain with lt/le and
+        # lengths folded on the right side.
+        op = {"gt": "lt", "ge": "le"}[op]
+        vs = vs[::-1]
+        lens = lens[::-1]
+    for i in range(len(vs) - 1):
+        # x_i + l_i (lt|le) x_{i+1}  ->  x_i - x_{i+1} <= -l_i (-1)
+        rhs = -lens[i] - (1 if op == "lt" else 0)
+        b.constraints.append(Constraint(
+            "int_lin_le", [[1, -1], [vs[i], vs[i + 1]], rhs]))
+
+
+def _fixed(b: _Builder, k: int) -> str:
+    """A singleton auxiliary variable pinned to k (for element-value
+    slots that require a variable operand)."""
+    return b.new_aux(k, k)
+
+
+def _lower_channel(b: _Builder, c):
+    """<channel>: one-list form x[x[i]] = i (self-inverse permutation);
+    two-list form x[i] = j <=> y[j] = i, lowered through var elements
+    in both directions (bijection when |x| == |y|)."""
+    lists = c.findall("list")
+    if not lists:
+        lists = [c]
+    def resolve(el):
+        start = int(el.get("startIndex", "0")) if el.get("startIndex") \
+            else 0
+        return b.resolve_list((el.text or "").strip()), start
+
+    def elem(idx_var, idx_start, arr, value_var):
+        # FlatZinc element is 1-based: shift index by (1 - start).
+        shift = 1 - idx_start
+        if shift:
+            lo, hi = _dom_of(b, idx_var)
+            i1 = b.new_aux(lo + shift, hi + shift)
+            b.constraints.append(Constraint(
+                "int_lin_eq", [[1, -1], [idx_var, i1], -shift]))
+        else:
+            i1 = idx_var
+        b.constraints.append(Constraint(
+            "array_var_int_element", [i1, arr, value_var]))
+
+    if len(lists) == 1:
+        xs, sx = resolve(lists[0])
+        for i, x in enumerate(xs):
+            # x[x[i]] = i (+ start offset on both sides).
+            elem(x, sx, xs, _fixed(b, i + sx))
+    else:
+        xs, sx = resolve(lists[0])
+        ys, sy = resolve(lists[1])
+        for i, x in enumerate(xs):
+            elem(x, sy, ys, _fixed(b, i + sx))
+        if len(xs) == len(ys):
+            for j, y in enumerate(ys):
+                elem(y, sx, xs, _fixed(b, j + sy))
+
+
+def _count_sum(b: _Builder, vs: List[str], vals: List[int]) -> List[str]:
+    """0/1 vars b_iv = [x_i = v] for every (i, v) pair."""
+    bits = []
+    for x in vs:
+        for v in vals:
+            r = b.new_aux(0, 1, bool_=True)
+            b.constraints.append(Constraint("int_eq_reif", [x, v, r]))
+            bits.append(r)
+    return bits
+
+
+def _lower_count(b: _Builder, c):
+    """<count>: |{i : x_i in values}| OP k (k int or var)."""
+    vs = b.resolve_list((c.find("list").text or "").strip())
+    vals = _parse_values(c.find("values").text or "")
+    op, k = _parse_condition(b, c.find("condition").text)
+    bits = _count_sum(b, vs, vals)
+    _lin_cond(b, [1] * len(bits), bits, op, k)
+
+
+def _lower_cardinality(b: _Builder, c):
+    """<cardinality>: per value v, count(x, v) matches <occurs> (int,
+    a..b range, or a variable). closed="true" additionally restricts
+    every x_i to the value list."""
+    vs = b.resolve_list((c.find("list").text or "").strip())
+    vals = _parse_values(c.find("values").text or "")
+    occ_toks = (c.find("occurs").text or "").split()
+    if len(occ_toks) != len(vals):
+        raise Xcsp3Error("cardinality values/occurs arity mismatch")
+    for v, tok in zip(vals, occ_toks):
+        bits = _count_sum(b, vs, [v])
+        ones = [1] * len(bits)
+        m = re.fullmatch(r"(-?\d+)\.\.(-?\d+)", tok)
+        if m:
+            _lin_cond(b, ones, bits, "ge", int(m.group(1)))
+            _lin_cond(b, ones, bits, "le", int(m.group(2)))
+        elif re.fullmatch(r"-?\d+", tok):
+            _lin_cond(b, ones, bits, "eq", int(tok))
+        else:
+            _lin_cond(b, ones, bits, "eq", b.resolve_list(tok)[0])
+    if (c.get("closed") or "").lower() == "true":
+        from .ast import SetLit
+        allowed = SetLit(tuple(sorted(set(vals))))
+        for x in vs:
+            b.constraints.append(Constraint("set_in", [x, allowed]))
+
+
+def _lower_nvalues(b: _Builder, c):
+    """<nValues>: |{x_i}| OP k via used_v = OR_i [x_i = v] over the
+    union of domains (guarded against huge unions)."""
+    vs = b.resolve_list((c.find("list").text or "").strip())
+    op, k = _parse_condition(b, c.find("condition").text)
+    union = set()
+    for x in vs:
+        lo, hi = _dom_of(b, x)
+        union.update(range(lo, hi + 1))
+        if len(union) > 512:
+            raise Xcsp3Error("nValues domain union too large (>512)")
+    used = []
+    for v in sorted(union):
+        bits = _count_sum(b, vs, [v])
+        u = b.new_aux(0, 1, bool_=True)
+        b.constraints.append(Constraint("array_bool_or", [bits, u]))
+        used.append(u)
+    _lin_cond(b, [1] * len(used), used, op, k)
+
+
+def _lower_regular(b: _Builder, c):
+    """<regular>: unrolled automaton. Step i picks a transition row
+    r_i: src[r_i] = q_i, sym[r_i] = x_i, dst[r_i] = q_{i+1} (the same
+    row-selector element encoding the extension kernel uses); q_0 is
+    pinned to <start> and q_n restricted to <final>."""
+    from .ast import SetLit
+
+    vs = b.resolve_list((c.find("list").text or "").strip())
+    trans_text = (c.find("transitions").text or "").strip()
+    trans = []
+    for m in re.finditer(r"\(([^)]*)\)", trans_text):
+        src, sym, dst = [t.strip() for t in m.group(1).split(",")]
+        trans.append((src, int(sym), dst))
+    if not trans:
+        raise Xcsp3Error("regular without transitions")
+    states = sorted({t[0] for t in trans} | {t[2] for t in trans})
+    sid = {s: i for i, s in enumerate(states)}
+    start = (c.find("start").text or "").strip()
+    finals = [(f) for f in (c.find("final").text or "").split()]
+    if start not in sid or any(f not in sid for f in finals):
+        # A start/final state with no transition can never be reached /
+        # left; map unknown states to a fresh id so the encoding stays
+        # total (the row tables simply never produce them).
+        for s in [start] + finals:
+            if s not in sid:
+                sid[s] = len(sid)
+    src_col = [sid[t[0]] for t in trans]
+    sym_col = [t[1] for t in trans]
+    dst_col = [sid[t[2]] for t in trans]
+    n_states = len(sid)
+    q = [_fixed(b, sid[start])]
+    for i in range(len(vs)):
+        q.append(b.new_aux(0, n_states - 1))
+    for i, x in enumerate(vs):
+        r = b.new_aux(1, len(trans))
+        b.constraints.append(Constraint(
+            "array_int_element", [r, src_col, q[i]]))
+        b.constraints.append(Constraint(
+            "array_int_element", [r, sym_col, x]))
+        b.constraints.append(Constraint(
+            "array_int_element", [r, dst_col, q[i + 1]]))
+    b.constraints.append(Constraint(
+        "set_in", [q[-1], SetLit(tuple(sorted(sid[f] for f in finals)))]))
