@@ -210,3 +210,64 @@ def test_cli_multihost_two_processes():
     skipped = int(re.search(r"eps_skipped_subproblems=(\d+)", outs[0])[1])
     assert solved + skipped == 64, outs[0]
     assert outs[1].strip() == "", outs[1]
+
+
+WORKER_R5 = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, n, port, ck = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                    sys.argv[4])
+from turbo_tpu.parallel.multihost import MultiHostSolver, init_distributed
+init_distributed(f"localhost:{port}", n, pid)
+from turbo_tpu.frontend.fzn import parse_fzn
+from turbo_tpu.compile.model import compile_model
+from turbo_tpu.solver.engine import EngineConfig
+tnf = compile_model(parse_fzn(
+    "/root/reference/benchmarks/test_data/sudoku_opt3.fzn"))
+s = MultiHostSolver(tnf, EngineConfig(num_dives=4, subproblems_power=6,
+                                      max_depth=64))
+imps = []
+r1 = s.solve(timeout_s=300, chunk=2, node_limit=40, checkpoint_path=ck,
+             on_improve=lambda lb: imps.append(list(lb)))
+r2 = s.solve(timeout_s=300, chunk=8, checkpoint_path=ck,
+             on_improve=lambda lb: imps.append(list(lb)))
+print(f"RESULT {pid} {r1.status} {r2.status} {r2.objective} "
+      f"{int(r2.exhaustive)} {len(imps)}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_i_cutnodes_checkpoint(tmp_path):
+    """Multi-host -i / -cutnodes / -checkpoint (VERDICT r4 weak item 7):
+    a node-budgeted first run stops early and checkpoints on every
+    host; a second collective solve resumes from the per-host files and
+    proves the optimum; the global improving incumbent streams through
+    on_improve on both hosts."""
+    with socket.socket() as sk:
+        sk.bind(("localhost", 0))
+        port = sk.getsockname()[1]
+    ck = str(tmp_path / "mh.ckpt")
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", WORKER_R5, str(i), "2", str(port), ck],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, (out, err)
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert line, (out, err)
+        outs.append(line[0].split())
+    # Per-host checkpoint files were written.
+    assert os.path.exists(ck + ".h0") and os.path.exists(ck + ".h1")
+    for parts in outs:
+        # Run 1 was cut by the global node budget (not exhaustive)...
+        assert parts[2] in ("sat", "unknown"), outs
+        # ...run 2 resumed and proved the optimum.
+        assert parts[3] == "optimal", outs
+        assert parts[4] == "-2", outs
+        assert parts[5] == "1", outs
+        # At least one global incumbent improvement streamed.
+        assert int(parts[6]) >= 1, outs

@@ -159,13 +159,6 @@ def run(cfg: Configuration) -> int:
         from .parallel.multihost import MultiHostSolver, init_distributed
 
         init_distributed(cfg.coordinator, cfg.hosts, cfg.host_id)
-        if cfg.checkpoint_path or cfg.stop_after_n_nodes:
-            print("% WARNING: -checkpoint/-cutnodes are not supported "
-                  "on multi-host runs; ignored", file=sys.stderr)
-        if cfg.print_intermediate:
-            print("% WARNING: -i (intermediate solutions) is not "
-                  "supported on multi-host runs; only the final "
-                  "solution is printed", file=sys.stderr)
         enumerate_all = tnf.obj_var < 0 and cfg.stop_after_n_solutions != 1
         if enumerate_all:
             raise ValueError("-a is not supported by the multi-host "
@@ -188,13 +181,25 @@ def run(cfg: Configuration) -> int:
                     disable_simplify=cfg.disable_simplify,
                     shave=cfg.shave)
         solver = MultiHostSolver(tnf, econf)
+        mh_printed = [None]
+        mh_improve = None
+        if cfg.print_intermediate:
+            # -i: the global improving solution rides the DCN snapshot;
+            # every host calls the printer but only host 0's stdout is
+            # live (the others are routed to devnull above).
+            def mh_improve(best_lb_tnf):
+                mh_printed[0] = list(best_lb_tnf)
+                print_solution(tnf, best_lb_tnf)
         r = solver.solve(timeout_s=timeout_s,
                          stop_after_n_solutions=cfg.stop_after_n_solutions,
-                         verbose=cfg.verbose >= 2)
+                         verbose=cfg.verbose >= 2,
+                         on_improve=mh_improve,
+                         node_limit=cfg.stop_after_n_nodes or 0,
+                         checkpoint_path=cfg.checkpoint_path or "")
         r.init_time = init_time
         # Every host holds the same allgathered global result; host 0's
         # stdout is the run's output (others are routed to devnull).
-        if r.best_lb is not None:
+        if r.best_lb is not None and mh_printed[0] != list(r.best_lb):
             print_solution(tnf, r.best_lb)
         print_final_separator(r.status, tnf.obj_var >= 0,
                               exhaustive=r.exhaustive)

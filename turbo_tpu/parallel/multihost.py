@@ -213,7 +213,23 @@ class MultiHostSolver:
 
     def solve(self, timeout_s: float = 1e18, chunk: int = 16,
               stop_after_n_solutions: int = 1,
-              verbose: bool = False) -> EngineResult:
+              verbose: bool = False, on_improve=None,
+              node_limit: int = 0, checkpoint_path: str = "",
+              checkpoint_every_s: float = 60.0) -> EngineResult:
+        """Collective multi-host solve.
+
+        on_improve(best_lb_tnf): called (on every host; only host 0's
+        stdout is live) whenever the GLOBAL incumbent improves, at
+        exchange latency — the winning host's solution store rides the
+        DCN snapshot (-i parity; VERDICT r4 weak item 7).
+        node_limit: global node budget (-cutnodes), evaluated on the
+        allgathered total so every host stops at the same tick.
+        checkpoint_path: per-host files `path.h<pid>`; host 0's wall
+        clock arms a save flag in the snapshot so all hosts save at the
+        same exchange tick, and a restore is adopted only when EVERY
+        host restored successfully (all-fresh otherwise)."""
+        import os
+
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -225,12 +241,31 @@ class MultiHostSolver:
             return EngineResult.unsat(sh)
         st = sh.init_state()
         jax.block_until_ready(st.lb)
+        my_ckpt = f"{checkpoint_path}.h{self.pid}" if checkpoint_path \
+            else ""
+        if my_ckpt:
+            from ..solver.checkpoint import load_state
+            restored = None
+            if os.path.exists(my_ckpt):
+                restored = load_state(
+                    sh.solver, my_ckpt, num_shards=self.S,
+                    device_put=lambda x: jax.device_put(x, sharding))
+            ok = self._allgather(np.array(
+                [int(restored is not None)], dtype=np.int64)).reshape(-1)
+            if ok.all() and restored is not None:
+                st = restored[0]
+            elif ok.any() and self.pid == 0:
+                print("% warning: partial multi-host checkpoint set; "
+                      "all hosts starting fresh", flush=True)
+        last_ckpt = time.monotonic()
         step_n = sh.make_step_n(chunk)
         t0 = time.monotonic()
         first = True
         stopped = False
         redistributions = 0
         chunks = 0
+        V = int(self.plan.V)
+        last_improve_printed = INF
         # Every break decision below is computed from the *allgathered*
         # snapshot, identically on every host, at exchange ticks that
         # are synchronized by iteration count - the allgather is a
@@ -245,33 +280,52 @@ class MultiHostSolver:
             chunks += 1
             if chunks % self.exchange_every:
                 continue
-            phase, bbs, ns, slim, sols = jax.device_get(
+            phase, bbs, ns, slim, sols, nodes_v, has_b = jax.device_get(
                 (st.phase, st.best_bound, st.next_sub, st.sub_limit,
-                 st.sols))
+                 st.sols, st.nodes, st.has_best))
             local_idle = bool((phase == IDLE).all())
-            # DCN exchange:
-            #   [best, idle, want_stop, n_sols, next_s..., limit_s...]
+            # DCN exchange: [best, idle, want_stop, n_sols, nodes,
+            #   want_ckpt, next_s..., limit_s..., best_store(V)]
             # Fixed-size snapshot across heterogeneous hosts: pad to
             # the largest local shard count with next==limit (no work).
+            # The winning incumbent STORE rides the snapshot so -i can
+            # print the global improving solution on host 0 (V extra
+            # int64 per host per exchange — KBs on DCN).
             SM = self.S_max
-            snap = np.zeros(4 + 2 * SM, dtype=np.int64)
+            snap = np.zeros(6 + 2 * SM + V, dtype=np.int64)
             snap[0] = int(bbs.min())
             snap[1] = int(local_idle)
             snap[2] = int(time.monotonic() - t0 > timeout_s)
             snap[3] = int(sols.sum())
+            snap[4] = int(nodes_v.sum())
+            snap[5] = int(bool(my_ckpt) and self.pid == 0 and
+                          time.monotonic() - last_ckpt
+                          > checkpoint_every_s)
             for s in range(self.S):
-                snap[4 + s] = int(ns[s * D])
-                snap[4 + SM + s] = int(slim[s * D])
+                snap[6 + s] = int(ns[s * D])
+                snap[6 + SM + s] = int(slim[s * D])
+            if bool(np.asarray(has_b).any()):
+                d = int(np.argmin(np.where(np.asarray(has_b),
+                                           np.asarray(bbs), INF + 1)))
+                snap[6 + 2 * SM:] = np.asarray(
+                    jax.device_get(st.best_lb[d])).astype(np.int64)
             allsnap = self._allgather(snap)
             gbest = int(allsnap[:, 0].min())
             idle = allsnap[:, 1].astype(bool)
             total_sols = int(allsnap[:, 3].sum())
-            next_mat = allsnap[:, 4:4 + SM]
-            limit_mat = allsnap[:, 4 + SM:]
+            total_nodes = int(allsnap[:, 4].sum())
+            next_mat = allsnap[:, 6:6 + SM]
+            limit_mat = allsnap[:, 6 + SM:6 + 2 * SM]
             if self.opt and gbest < int(np.asarray(
                     jax.device_get(st.ext_bound))[0]):
                 eb = jnp.full((self.S * D,), gbest, dtype=jnp.int32)
                 st = st._replace(ext_bound=jax.device_put(eb, sharding))
+            if (on_improve is not None and self.opt and gbest < INF
+                    and gbest < last_improve_printed):
+                last_improve_printed = gbest
+                win = int(np.argmin(allsnap[:, 0]))
+                store = allsnap[win, 6 + 2 * SM:].astype(np.int32)
+                on_improve(self.plan.store_to_tnf(store))
             moves = plan_host_steal(next_mat, limit_mat, idle)
             my_moves = [m for m in moves
                         if m[0] == self.pid or m[1] == self.pid]
@@ -290,7 +344,18 @@ class MultiHostSolver:
                         redistributions += 1
                 st = jax.tree.map(
                     lambda x: jax.device_put(x, sharding), st_np)
+            if my_ckpt and allsnap[:, 5].any():
+                # Host 0 armed the save flag: every host snapshots its
+                # local state at this same (collectively agreed) tick.
+                from ..solver.checkpoint import save_state
+                save_state(sh.solver, st, my_ckpt, num_shards=self.S)
+                last_ckpt = time.monotonic()
             if allsnap[:, 2].any():          # some host hit the timeout
+                stopped = True
+                break
+            if node_limit and total_nodes >= node_limit:
+                # Global -cutnodes budget, same allgathered total on
+                # every host -> same break tick.
                 stopped = True
                 break
             if (not self.opt and stop_after_n_solutions > 0
@@ -304,6 +369,9 @@ class MultiHostSolver:
                 break
             if verbose and self.pid == 0:
                 print(f"% host0: chunks={chunks} best={int(bbs.min())}")
+        if my_ckpt and stopped:
+            from ..solver.checkpoint import save_state
+            save_state(sh.solver, st, my_ckpt, num_shards=self.S)
         res = EngineResult.from_state(sh, st, stopped,
                                        time.monotonic() - t0)
         res.eps_redistributions = redistributions
