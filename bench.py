@@ -132,7 +132,14 @@ def main():
         tnf = compile_model(parse_fzn(INSTANCE))
     log(f"compiled model: V={tnf.num_vars} P={tnf.num_props}")
 
-    use_table = bool(int(os.environ.get("BENCH_TABLE", "1")))
+    # Table default OFF for the bench: the r5 chip A/B
+    # (benchmarks/bench_ab_wordpress_r5.jsonl) measured table vs
+    # no-table within noise at every cap on wordpress (27.0k vs 27.3k
+    # nodes/s at the cap-4 optimum) while the pinned -sub 14 build costs
+    # ~1190 s of serial relay calls — pure artifact-budget risk for zero
+    # throughput. (CLI runs use auto-k, which caps builds at ~8 calls;
+    # this only affects the bench's pinned split.)
+    use_table = bool(int(os.environ.get("BENCH_TABLE", "0")))
     solver = BatchedSolver(tnf, EngineConfig(
         num_dives=DIVES, subproblems_power=14, max_depth=256,
         fp_max_iters=max(CAPS + [FP_CAP, 16]),

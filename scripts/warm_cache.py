@@ -53,7 +53,7 @@ def main():
         fp_mode=os.environ.get("BENCH_FP_MODE", "fixpoint"),
         fp_layout=os.environ.get("BENCH_FP_LAYOUT", "vd"),
         gather_mode=os.environ.get("BENCH_GATHER_MODE", "take"),
-        use_table=bool(int(os.environ.get("BENCH_TABLE", "1")))))
+        use_table=bool(int(os.environ.get("BENCH_TABLE", "0")))))
     if solver.use_table:
         t1 = time.monotonic()
         solver.get_table(0)
