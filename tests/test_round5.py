@@ -246,3 +246,20 @@ solve satisfy;
         out = capsys.readouterr().out
         assert out.count("----------") == 6, (arch, out)
         assert "==========" in out
+
+
+def test_hold_rule_tree_invariant_across_caps():
+    """DESIGN.md's hold-rule claim, as an in-tree artifact (VERDICT r4
+    item 3): the proof tree node count is IDENTICAL at every fixpoint
+    cap — branching only ever happens at the true AC-1 fixpoint store,
+    held lanes just take more steps to get there."""
+    tnf = compile_model(parse_fzn(f"{DATA}/sudoku_opt_p0.fzn"))
+    nodes = {}
+    for cap in (2, 4, 16):
+        s = BatchedSolver(tnf, EngineConfig(
+            num_dives=16, fp_max_iters=16, use_table=False,
+            fp_cap_auto=False))
+        r = s.solve(timeout_s=300, chunk=8, fp_cap=cap)
+        assert r.status == "optimal" and r.objective == -3 and r.exhaustive
+        nodes[cap] = r.nodes
+    assert len(set(nodes.values())) == 1, nodes
