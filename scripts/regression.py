@@ -60,11 +60,12 @@ def main():
     # the 60 s proof budget that overhead is pure loss. step_n is a
     # fori_loop so compile cost does not grow with the chunk.
     ap.add_argument("--chunk", type=int, default=64)
-    # Per-STEP fixpoint sweep cap (traced: no recompile). Low caps
-    # branch before full fixpoint — sound, exhaustive, but the tree may
-    # grow; the chip A/B (benchmarks/bench_ab_pat13_r4.jsonl) measured
-    # node rate almost inversely proportional to the cap on proof
-    # workloads (pat13: 2.7k/s at 16, 95.7k/s at 2).
+    # Per-STEP fixpoint sweep cap (traced: no recompile). Under the
+    # hold rule the tree is cap-invariant (tests/test_round5.py::
+    # test_hold_rule_tree_invariant_across_caps) and the cap is a pure
+    # throughput knob with an instance-dependent optimum (chip A/Bs:
+    # benchmarks/bench_ab_wordpress_r5.jsonl, bench_ab_pat13_r5.jsonl);
+    # default 0 = the engine's live auto-cap calibration.
     ap.add_argument("--fp-cap", type=int, default=0,
                     help="override the per-step sweep cap at solve time")
     args = ap.parse_args()
