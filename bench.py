@@ -37,7 +37,12 @@ INSTANCE = os.environ.get(
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "60"))
 DIVES = int(os.environ.get("BENCH_DIVES", "256"))
-FP_CAP = int(os.environ.get("BENCH_FP_CAP", "0"))  # 0 = sweep
+# Default: the committed chip A/B's measured optimum on this instance
+# (benchmarks/bench_ab_wordpress_r5.jsonl: cap 4 wins both the table
+# and no-table D=256 legs at 30 s windows, and the best bound
+# trajectory). A live 3 s/point sweep (BENCH_FP_CAP=0) re-picks it
+# only ~half the time — too noisy for the round's one-shot artifact.
+FP_CAP = int(os.environ.get("BENCH_FP_CAP", "4"))  # 0 = sweep
 # Caps swept when BENCH_FP_CAP=0; ~2 s of device time each, every
 # sweep chunk is real solve progress (sound at any cap — hold rule).
 CAPS = [int(c) for c in os.environ.get("BENCH_CAPS", "2,3,4,8,16").split(",")]
@@ -205,6 +210,14 @@ def main():
                 t0 = time.monotonic()
                 while time.monotonic() - t0 < SWEEP_S:
                     st = step_n(st)
+                    # Real sync per chunk: relay dispatch is async with
+                    # no backpressure, so an unsynced 3 s dispatch loop
+                    # can enqueue thousands of chunks (~hours of device
+                    # work) that the next fetch must drain — the r5
+                    # validation run stalled 12+ min in this loop. The
+                    # ~83 ms dispatch floor this adds is uniform across
+                    # caps, so the argmax is unaffected.
+                    jax.device_get(st.phase)
                 n1 = int(np.asarray(jax.device_get(st.nodes)).sum())
                 dt = time.monotonic() - t0
                 rates[cap] = (n1 - n0) / dt
@@ -274,11 +287,31 @@ def main():
 
     baseline_path = os.path.join(REPO, "BENCH_BASELINE.json")
     vs = 1.0
+    extra = {}
     if os.path.exists(baseline_path):
         try:
             base = json.load(open(baseline_path))
             if base.get("value"):
                 vs = nodes_per_s / float(base["value"])
+            # Bound-progress comparison: nodes/s alone is phase- and
+            # cap-sensitive (a weaker per-step fixpoint inflates nodes
+            # while slowing real optimization). Report how fast this
+            # run reaches the baseline run's END bound on the same
+            # instance/window — the honest "are we actually faster"
+            # number.
+            bb_base = base.get("best_bound_at_end")
+            if bb_base is not None:
+                t_hit = next((t for t, b in trajectory if b <= bb_base),
+                             None)
+                extra["baseline_best_bound_at_end"] = bb_base
+                extra["time_to_baseline_bound_s"] = (
+                    round(t_hit, 1) if t_hit is not None else None)
+                if t_hit and base.get("measure_window_s"):
+                    extra["bound_progress_speedup_vs_baseline"] = round(
+                        float(base["measure_window_s"]) / t_hit, 2)
+            if base.get("deductions_per_s"):
+                extra["deductions_vs_baseline"] = round(
+                    deds_per_s / float(base["deductions_per_s"]), 3)
         except Exception:
             pass
     inst_name = os.path.splitext(os.path.basename(INSTANCE))[0]
@@ -298,6 +331,7 @@ def main():
         "bound_trajectory": trajectory[:64],
         "hbm_roofline_deds_per_s": round(ceiling_deds, 1),
         "roofline_utilization": round(utilization, 4),
+        **extra,
     }
     if backend_mode != "default":
         out["invalid_for_perf"] = True
